@@ -1,0 +1,70 @@
+"""Per-key last-writer-wins dedup + salted (repo,path) bucketing.
+
+Reference semantics: ``resolve_doubles`` at
+host_available_info_from_hive_to_dwh/main.py:66-120 — an O(n^2)
+self-compare that merges duplicate keys, order-dependent on input list
+order. Here it is a strictly-LSN-ordered reduction (deterministic under
+any parallelism, SURVEY.md §7.4.4), expressed as an aggregation rather
+than a window:
+
+- ``groupBy(key).agg(max_by(row, lsn))`` is a hash aggregate with
+  MAP-SIDE PARTIAL AGGREGATION: every task reduces its local slice of a
+  hot key to one row before the shuffle — this is the salted two-phase
+  reduce of the north_rule, performed by Spark's partial-agg machinery
+  with zero extra shuffles. A window (`row_number over partitionBy`)
+  would instead shuffle and sort EVERY event of the hot key into one
+  task — the straggler we must avoid.
+- ``salted=True`` makes the two phases explicit (groupBy(key, salt)
+  then groupBy(key)); kept for the skew test matrix and for engines
+  without partial max_by.
+
+Bucketing: ``bucket = pmod(xxhash64(repo, path), n_buckets)`` is the
+engine's partition spec for the lake table (north_rule "salted
+(repo,path) key"; Iceberg analog: ``bucket(N, repo||path)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 32
+
+
+def bucket_expr(n_buckets: int = DEFAULT_BUCKETS):
+    """Deterministic bucket id for a (repo, path) key."""
+    return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets)).cast("int")
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return df.withColumn("_bucket", bucket_expr(n_buckets))
+
+
+def dedup_last_writer(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "lsn",
+    salted: bool = False,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep, per key, the row with the max ``order_col``.
+
+    lsn is unique (FIXTURES.md §2) so the winner is deterministic.
+    Duplicate deliveries (same lsn twice) collapse to one identical row.
+    """
+    key_cols = key_cols or ["repo", "path"]
+    cols = events.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    if salted:
+        salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
+        p1 = (
+            events.withColumn("_salt", salt)
+            .groupBy(*key_cols, "_salt")
+            .agg(F.max_by(row, F.col(order_col)).alias("_r"))
+        )
+        p2 = p1.groupBy(*key_cols).agg(
+            F.max_by(F.col("_r"), F.col(f"_r.{order_col}")).alias("_r")
+        )
+    else:
+        p2 = events.groupBy(*key_cols).agg(F.max_by(row, F.col(order_col)).alias("_r"))
+    return p2.select("_r.*")

@@ -1,0 +1,211 @@
+"""Snapshot-versioned lake table with atomic manifest commit (Iceberg fallback).
+
+This sandbox has no iceberg-spark-runtime jars (SURVEY.md §7.3), so the
+table layer hand-builds the Iceberg properties the engine needs:
+
+- **Snapshots**: every commit writes a new immutable version; data files
+  are never mutated. ``load_id``-style versioning in the reference
+  (geoinfo/main.py:49-57, 424) is the ancestor of this.
+- **Atomic commit**: data files land first, then the manifest JSON, then
+  the ``_LATEST`` pointer via POSIX tmp+rename — a crash at any point
+  leaves the previous version live (reference analog: per-batch
+  transaction commit/rollback, thehive_to_dwh/transform_load.py:283-292).
+  On a real object store this rename becomes an Iceberg catalog swap.
+- **Checkpoint**: ``last_lsn`` rides in the manifest, committed in the
+  same rename as the data — data and cursor can never diverge
+  (exactly-once; the reference's Airflow ``execution_date`` cursor is
+  committed separately and relies on idempotent upserts instead).
+- **Bucket-scoped copy-on-write**: the manifest maps bucket id -> data
+  dir; a batch rewrites only touched buckets and carries the rest
+  forward by reference, so MERGE cost scales with the update footprint,
+  not table size.
+
+Layout:
+    root/
+      data/v{N}/_bucket={b}/part-*.parquet
+      manifests/v{N}.json
+      metrics/batch-*.json        (per-batch metrics + lineage, append-only)
+      _LATEST                     (atomic pointer: the committed version)
+
+The public surface (init/read/commit/version/last_lsn) is the interface a
+real Iceberg catalog implementation slots into on a cluster
+(``MERGE INTO`` + ``ALTER TABLE`` become metadata ops there).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .dedup import DEFAULT_BUCKETS
+from .schema import BASE_TABLE_FIELDS
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = DEFAULT_BUCKETS):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "metrics"), exist_ok=True)
+
+    # --- manifest / pointer ------------------------------------------------
+
+    @property
+    def _latest_path(self) -> str:
+        return os.path.join(self.root, "_LATEST")
+
+    def version(self) -> int:
+        try:
+            with open(self._latest_path) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def manifest(self) -> dict:
+        v = self.version()
+        if v == 0:
+            return {
+                "version": 0,
+                "last_lsn": 0,
+                "dyn_schema": [],
+                "files": {},
+                "n_buckets": self.n_buckets,
+            }
+        with open(os.path.join(self.root, "manifests", f"v{v}.json")) as f:
+            return json.load(f)
+
+    def last_lsn(self) -> int:
+        return int(self.manifest()["last_lsn"])
+
+    def dyn_schema(self) -> list[tuple[str, str]]:
+        return [tuple(c) for c in self.manifest()["dyn_schema"]]
+
+    def table_schema(self, dyn: list[tuple[str, str]] | None = None) -> T.StructType:
+        dyn = self.dyn_schema() if dyn is None else dyn
+        fields = list(BASE_TABLE_FIELDS)
+        for name, ddl in dyn:
+            fields.append(T.StructField(name, T._parse_datatype_string(ddl)))  # noqa: SLF001
+        return T.StructType(fields)
+
+    # --- read ----------------------------------------------------------------
+
+    def _bucket_dirs(self, m: dict, buckets: list[int] | None = None) -> list[str]:
+        files = m["files"]
+        keys = [str(b) for b in buckets] if buckets is not None else list(files)
+        return [os.path.join(self.root, files[k]) for k in keys if k in files]
+
+    def read(self, buckets: list[int] | None = None, manifest: dict | None = None) -> DataFrame:
+        """Read the committed snapshot (optionally a bucket subset).
+
+        Explicit schema: files written before a column-add lack the column
+        and read as nulls (schema-on-read — parquet by-name resolution).
+        """
+        m = manifest or self.manifest()
+        schema = self.table_schema([tuple(c) for c in m["dyn_schema"]])
+        dirs = self._bucket_dirs(m, buckets)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
+
+    # --- commit ----------------------------------------------------------------
+
+    def new_data_dir(self, version: int) -> str:
+        return os.path.join(self.root, "data", f"v{version}")
+
+    def commit(
+        self,
+        version: int,
+        written_dir: str | None,
+        touched_buckets: list[int],
+        last_lsn: int,
+        dyn_schema: list[tuple[str, str]],
+        metrics: dict,
+        full_rewrite: bool = False,
+    ) -> dict:
+        """Publish version N: new bucket dirs + carried-forward references.
+
+        Default (bucket-scoped CoW): untouched buckets keep their old
+        data-dir references; touched buckets point into written_dir
+        (buckets that ended empty simply disappear from the manifest).
+        ``full_rewrite=True`` (rename/widen migration): nothing carries.
+        """
+        prev = self.manifest()
+        files: dict[str, str] = {} if full_rewrite else dict(prev["files"])
+        for b in touched_buckets:
+            files.pop(str(b), None)
+        if written_dir:
+            rel = os.path.relpath(written_dir, self.root)
+            for entry in sorted(os.listdir(written_dir)):
+                if entry.startswith("_bucket="):
+                    b = entry.split("=", 1)[1]
+                    files[b] = os.path.join(rel, entry)
+        manifest = {
+            "version": version,
+            "parent": prev["version"],
+            "last_lsn": int(last_lsn),
+            "dyn_schema": [list(c) for c in dyn_schema],
+            "files": files,
+            "n_buckets": self.n_buckets,
+            "committed_at": time.time(),
+            "metrics": metrics,
+        }
+        mpath = os.path.join(self.root, "manifests", f"v{version}.json")
+        _atomic_write(mpath, json.dumps(manifest, indent=1))
+        _atomic_write(self._latest_path, str(version))
+        _atomic_write(
+            os.path.join(self.root, "metrics", f"batch-v{version}.json"),
+            json.dumps(metrics, indent=1),
+        )
+        return manifest
+
+    # --- maintenance ----------------------------------------------------------
+
+    def live_data_dirs(self) -> set[str]:
+        m = self.manifest()
+        return {os.path.normpath(os.path.join(self.root, p)) for p in m["files"].values()}
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Drop manifests/data older than the last N versions (reference
+        analog: geoinfo retention ``load_id <= max - k``, main.py:482-486).
+        Data dirs still referenced by a kept manifest are preserved."""
+        cur = self.version()
+        keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
+        live: set[str] = set()
+        for v in keep_versions:
+            p = os.path.join(self.root, "manifests", f"v{v}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    m = json.load(f)
+                for rel in m["files"].values():
+                    # a bucket dir lives under data/v{K}/; keep that version dir
+                    live.add(rel.split("/")[1])
+        removed = []
+        data_root = os.path.join(self.root, "data")
+        for entry in sorted(os.listdir(data_root)):
+            if entry.startswith("v") and entry not in live:
+                v_num = int(entry[1:])
+                if v_num not in keep_versions and f"v{v_num}" not in live:
+                    shutil.rmtree(os.path.join(data_root, entry))
+                    removed.append(entry)
+        for entry in sorted(os.listdir(os.path.join(self.root, "manifests"))):
+            v_num = int(entry[1:].split(".")[0])
+            if v_num not in keep_versions:
+                os.remove(os.path.join(self.root, "manifests", entry))
+        return removed

@@ -1,0 +1,59 @@
+"""SparkSession factory with the engine's defaults.
+
+Local mode is a test stand-in for a multi-executor cluster; every knob
+here also applies unchanged under ``spark-submit --py-files`` on a real
+cluster (see cdc/runner.py for the submit entrypoint).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the engine.
+
+    - AQE on: runtime coalesce + skew-join splitting (SURVEY.md §4).
+    - Arrow on: all Python-side transforms are pandas UDFs.
+    - UTC session TZ: oracle (DuckDB) comparisons are TZ-naive UTC.
+    - shuffle partitions ~ cores in local mode, not the 200 default.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            if inner == "*":
+                shuffle_partitions = os.cpu_count() or 8
+            else:
+                shuffle_partitions = int(inner)
+        elif cpus:
+            shuffle_partitions = int(cpus)
+        else:
+            shuffle_partitions = 32
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
