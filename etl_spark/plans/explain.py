@@ -1,0 +1,43 @@
+"""Assertable plan inspection: the tests pin the physical properties the
+engine relies on at 100 TB (pushdown, pruning, broadcast, codegen),
+instead of hoping Catalyst did the right thing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame, *fragments: str) -> bool:
+    """True if the parquet scan reports all fragments under PushedFilters."""
+    plan = formatted_plan(df)
+    lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    blob = " ".join(lines)
+    return all(f in blob for f in fragments)
+
+
+def read_schema_columns(df: DataFrame) -> set[str]:
+    """Column names the scan actually reads (ReadSchema) — column pruning."""
+    import re
+
+    plan = formatted_plan(df)
+    cols: set[str] = set()
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        for part in m.group(1).split(","):
+            if ":" in part:
+                cols.add(part.split(":")[0].strip())
+    return cols
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("WholeStageCodegen")
