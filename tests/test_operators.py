@@ -1,0 +1,235 @@
+"""Operator-quality tests for the non-SQL-expressible operators (the
+rows-only entries of __spark_entry__.py) plus the dual-path UDF proofs.
+
+- MinHash+LSH: recall of planted near-duplicates, est_jaccard accuracy
+  vs exact n-gram Jaccard.
+- SimHash: identical texts collide at hamming 0; light perturbations
+  stay within the band threshold; unrelated texts don't pair.
+- ANN LSH: recall@k vs the exact brute-force top-k on the driver-
+  provided embeddings table.
+- rolling_fingerprint: deterministic, equal for equal texts, robust to
+  a prefix shift (locality property of winnowing).
+- Arrow-vs-JVM dual path: pandas-UDF sha256/lang-norm == JVM-native
+  expressions, and a full replay with use_arrow_udfs=True byte-matches
+  the default replay.
+- Multimodal plumbing: mapInPandas feature extraction and frame
+  sampling produce exact byte counts / hashes / offsets.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators import dedup_text, similarity
+from etl_spark.operators.multimodal import extract_features, frame_sample, synthesize_media
+from etl_spark.operators.textstats import rolling_fingerprint
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# text near-dup
+# --------------------------------------------------------------------------
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the rain falls softly on the old roof"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """60 distinct docs + 3 planted near-dup pairs + 1 exact dup pair."""
+    rows = []
+    for i in range(60):
+        rows.append((i, f"document number {i} " + " ".join(f"tok{i}_{j}" for j in range(30))))
+    rows.append((100, BASE))
+    rows.append((101, BASE.replace("lazy", "sleepy")))            # near-dup of 100
+    rows.append((102, BASE + " extra trailing words here"))       # near-dup of 100
+    rows.append((103, BASE))                                      # exact dup of 100
+    rows.append((104, "completely different content about spark merge join window hash"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_pairs(planted_docs):
+    pairs = dedup_text.minhash_lsh_pairs(
+        planted_docs, threshold=0.5, n_hashes=32, bands=16, shingle_n=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100, 103) in got, "exact dup must collide in every band"
+    assert (100, 101) in got or (100, 102) in got, "planted near-dups missed"
+    # no cross-pairs between unrelated synthetic docs
+    assert not any(a < 60 and b < 60 for a, b in got)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(planted_docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup_text.ngram_jaccard_pairs(planted_docs, threshold=0.0, n=2).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup_text.minhash_lsh_pairs(
+            planted_docs, threshold=0.0, n_hashes=64, bands=32, shingle_n=2
+        ).collect()
+    }
+    common = set(exact) & set(est)
+    assert (100, 103) in common
+    for k in common:
+        assert abs(est[k] - exact[k]) < 0.25, f"estimate off at {k}: {est[k]} vs {exact[k]}"
+    assert est[(100, 103)] == 1.0
+
+
+def test_minhash_signature_paths_agree(planted_docs):
+    """The explode+groupBy engine path == the single-expression path."""
+    via_agg = {
+        r["id"]: r["sig"]
+        for r in dedup_text.minhash_signatures(planted_docs, n_hashes=8, shingle_n=2).collect()
+    }
+    via_expr = {
+        r["doc_id"]: r["sig"]
+        for r in planted_docs.select(
+            "doc_id",
+            dedup_text.minhash_signature(
+                dedup_text.word_shingles(F.col("text"), 2), 8
+            ).alias("sig"),
+        ).collect()
+    }
+    assert via_agg == via_expr
+
+
+def test_simhash_bands_and_hamming(spark, planted_docs):
+    pairs = dedup_text.simhash_pairs(planted_docs, max_hamming=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((100, 103)) == 0, "identical texts must have hamming 0"
+    near = [h for (a, b), h in got.items() if a == 100 and b in (101, 102)]
+    assert near and all(h <= 16 for h in near)
+    assert (100, 104) not in got
+
+
+# --------------------------------------------------------------------------
+# ANN recall
+# --------------------------------------------------------------------------
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 20)
+    k = 10
+    exact = similarity.brute_force_topk(emb, probes, k=k).collect()
+    approx = similarity.lsh_topk(emb, probes, k=k, n_planes=4, n_tables=16).collect()
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    got: dict = {}
+    for r in approx:
+        got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(truth[p] & got.get(p, set())) / len(truth[p]) for p in truth
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.7, f"LSH recall@{k} too low: {mean_recall:.2f}"
+    # approximate scores must be true cosines (subset correctness)
+    exact_cos = {(r["probe_id"], r["neighbor_id"]): r["cos"] for r in exact}
+    for r in approx:
+        key = (r["probe_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cos"] - exact_cos[key]) < 1e-9
+
+
+def test_embedding_neardup_symmetric_and_thresholded(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.2, n_planes=4).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos"] >= 0.2
+
+
+# --------------------------------------------------------------------------
+# rolling fingerprint
+# --------------------------------------------------------------------------
+
+def test_rolling_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, "xy " + BASE), (4, "something else entirely")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got[1] == got[2], "equal texts -> equal fingerprint"
+    assert got[1] == got[3], "winnowing min-hash survives a prefix shift"
+    assert got[1] != got[4]
+
+
+# --------------------------------------------------------------------------
+# Arrow-vs-JVM dual paths
+# --------------------------------------------------------------------------
+
+def test_udf_paths_equal(spark):
+    from etl_spark.functions.udfs import lang_norm, lang_norm_expr, sha256_hex
+
+    df = spark.createDataFrame(
+        [("Python", "hello"), ("GOLANG", ""), ("weird-lang", "unicode ✓ text"), (None, None)],
+        "lang string, content string",
+    )
+    rows = df.select(
+        sha256_hex("content").alias("sha_py"),
+        F.sha2(F.col("content"), 256).alias("sha_jvm"),
+        lang_norm("lang").alias("ln_py"),
+        lang_norm_expr(F.col("lang")).alias("ln_jvm"),
+        "content",
+    ).collect()
+    for r in rows:
+        assert r["sha_py"] == r["sha_jvm"]
+        assert r["ln_py"] == r["ln_jvm"]
+        if r["content"] is not None:
+            assert r["sha_py"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_replay_arrow_path_matches_default(spark, tmp_path):
+    from etl_spark.cdc.gen import GenConfig, generate_events
+    from etl_spark.cdc.lake import SnapshotTable
+    from etl_spark.cdc.runner import replay
+
+    df = generate_events(spark, GenConfig(n_events=1200, n_keys=60, seed=23))
+    states = []
+    for arrow in (False, True):
+        t = SnapshotTable(spark, str(tmp_path / f"lake_arrow{arrow}"), n_buckets=4)
+        replay(spark, df, t, batch_size=500, use_arrow_udfs=arrow)
+        states.append(
+            sorted(map(tuple, t.read().select(
+                "repo", "path", "commit", "lang", "content", "content_sha256", "_last_lsn"
+            ).collect()))
+        )
+    assert states[0] == states[1]
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+def test_multimodal_features_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "a longer payload body " * 10)],
+        "doc_id long, text string",
+    )
+    media = synthesize_media(docs)
+    got = {r["media_id"]: r for r in extract_features(media).collect()}
+    for i, text in [(1, "abc"), (2, ""), (3, "a longer payload body " * 10)]:
+        b = text.encode()
+        assert got[i]["n_bytes"] == len(b)
+        assert got[i]["sha256"] == hashlib.sha256(b).hexdigest()
+        assert got[i]["width"] == (len(b) % 640) + 1
+        assert got[i]["height"] == (len(b) % 480) + 1
+        assert len(got[i]["feature"]) == 16
+        assert abs(sum(got[i]["feature"]) - (1.0 if b else 0.0)) < 1e-5
+
+
+def test_frame_sample_offsets(spark):
+    docs = spark.createDataFrame([(7, "z" * 2500)], "doc_id long, text string")
+    rows = frame_sample(synthesize_media(docs), every_n_bytes=1024).collect()
+    assert sorted(r["offset"] for r in rows) == [0, 1024, 2048]
+    payload = b"z" * 2500
+    for r in rows:
+        want = hashlib.sha256(payload[r["offset"]: r["offset"] + 1024]).hexdigest()
+        assert r["chunk_sha256"] == want
