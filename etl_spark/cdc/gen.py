@@ -48,6 +48,7 @@ class GenConfig:
     dup_rate: float = 0.0      # duplicate-delivery fraction (same lsn twice)
     p_insert: float = 0.50
     p_update: float = 0.40     # remainder is delete
+    max_content_reps: int = 60  # content = sha-chunk repeated 1..N times (~64B..~4KB)
     schema_events: tuple[SchemaEvent, ...] = field(default_factory=tuple)
     # dynamic columns carry values in `extra` once added; prob a data event
     # after the add carries a value for the column:
@@ -104,7 +105,9 @@ def generate_events(spark: SparkSession, cfg: GenConfig) -> DataFrame:
     lang_arr = F.array(*[F.lit(s) for s in RAW_LANGS])
     lang = F.element_at(lang_arr, (F.pmod(F.xxhash64(F.lit(cfg.seed), F.lit("lg"), key_idx), F.lit(len(RAW_LANGS))) + 1).cast("int"))
     chunk = F.sha2(F.concat_ws("|", repo, path, commit), 256)  # 64 chars
-    n_rep = (1 + F.pmod(F.xxhash64(F.lit(cfg.seed), F.lit("len"), lsn), F.lit(60))).cast("int")
+    n_rep = (
+        1 + F.pmod(F.xxhash64(F.lit(cfg.seed), F.lit("len"), lsn), F.lit(cfg.max_content_reps))
+    ).cast("int")
     content = F.when(op == "D", F.lit(None).cast("string")).otherwise(F.repeat(chunk, n_rep))
 
     ts = F.timestamp_seconds(

@@ -8,20 +8,33 @@ Reference semantics implemented here (SURVEY.md §2.2):
 - D1 identity-hash invariant  (transform_load.py:176-203) — content_sha256
 - A6 run-metrics counters     (multiple; see metrics.py)
 
-Physical plan (chosen over a full-outer join deliberately):
+Physical plan — exactly THREE Spark actions per batch, chosen over both
+a full-outer join and a cached-updates design deliberately:
 
-    target(touched buckets)  LEFT JOIN  broadcast(upd keys+op)   -- no shuffle,
-        -> keep unmatched rows ("carry"), drop matched            -- one pass
-    UNION ALL  upd rows with op in (I,U)                          -- appended
-    -> write partitionBy(_bucket)                                 -- CoW dirs
+    1. counting aggregate over the (column-pruned) batch scan: all batch
+       metrics + schema-control events + touched buckets + key count.
+    2. the fused merge+write job:
+         target(touched buckets)  LEFT JOIN  broadcast(slim key->op)
+             -> keep unmatched rows ("carry"), drop matched
+         UNION  winners(full content dedup) with op in (I,U),
+             repartitioned by _bucket
+         -> write partitionBy(_bucket)                     -- CoW dirs
+    3. (driver-side, no job) per-bucket lineage from parquet footers.
 
-Spark cannot broadcast either side of a FULL OUTER join, so the naive
-``target.join(upd, key, 'full_outer')`` would sort-merge-shuffle the whole
-touched partition set. The anti-join-shaped left join broadcasts the
-(small) update keyset instead: the target is read exactly once, streamed
-through a BroadcastHashJoin, and never shuffled. When a batch is too big
-to broadcast, the hint is skipped and AQE picks SMJ. Per-op counters ride
-on ``DataFrame.observe`` so the metrics pass is fused into the write.
+Why this shape:
+- Spark cannot broadcast either side of a FULL OUTER join, so the naive
+  ``target.join(upd, key, 'full_outer')`` would sort-merge-shuffle the
+  whole touched partition set. The left join broadcasts the update
+  keyset instead: the target is read exactly once, streamed through a
+  BroadcastHashJoin, never shuffled. Too-big batches skip the hint and
+  AQE picks SMJ.
+- The broadcast side is a SLIM dedup (key -> final op, ~60-byte rows);
+  the full ~2KB-content dedup feeds only the union branch, so content
+  crosses the wire exactly once. An earlier design persist()ed the full
+  winners and reused them three times — the cache build alone doubled
+  the hot stage's wall time and cost an extra materializing action.
+- Per-op counters ride ``DataFrame.observe`` on both branches, so all
+  metrics are computed by the write job itself.
 """
 
 from __future__ import annotations
@@ -46,8 +59,48 @@ from .lake import SnapshotTable
 from .metrics import BatchMetrics
 from .schema import KEY_COLS
 
-# above this many update rows, let AQE pick the join instead of broadcasting
-BROADCAST_MAX_ROWS = 4_000_000
+# Above this many distinct keys per batch, skip the broadcast hints and let
+# AQE pick the join. A broadcast table is built single-threaded on the
+# driver and shipped to every executor — at ~60 B/key, 1M keys is ~60 MB,
+# about where the serial build + per-executor ship cost crosses the cost of
+# a parallel shuffle join (and on a 1000-executor cluster the ship cost is
+# multiplied 1000x, so the threshold errs low).
+BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _lineage_from_footers(out_dir: str, version: int) -> dict:
+    """Per-bucket (rows, max _last_lsn) from parquet footer metadata."""
+    import pyarrow.parquet as pq
+
+    lineage: dict = {}
+    if not os.path.isdir(out_dir):
+        return lineage
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("_bucket="):
+            continue
+        b = entry.split("=", 1)[1]
+        rows, max_lsn = 0, None
+        bdir = os.path.join(out_dir, entry)
+        for fname in os.listdir(bdir):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(bdir, fname)).metadata
+            rows += md.num_rows
+            try:
+                idx = md.schema.names.index("_last_lsn")
+            except ValueError:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mx = int(st.max)
+                    max_lsn = mx if max_lsn is None or mx > max_lsn else max_lsn
+        lineage[b] = {
+            "rows": rows,
+            "max_lsn": max_lsn,
+            "dir": f"data/v{version}/_bucket={b}",
+        }
+    return lineage
 
 
 def _project_updates(
@@ -112,15 +165,22 @@ def apply_batch(
         m.wall_secs = time.time() - t0
         return m
 
-    # --- batch-level counts + schema-control events, ONE pass over the
-    # batch scan (schema events are rare, so collect_list stays tiny)
+    # --- batch-level counts + schema-control events + touched buckets +
+    # key cardinality, ONE column-pruned pass over the batch scan (the
+    # collected sets stay tiny: schema events are rare, buckets <= n_buckets)
     live = F.col("lsn") > ckpt
+    is_data = live & (F.col("op") != "S")
+    bcol = bucket_expr(table.n_buckets)
     counts = batch.agg(
         F.count("*").alias("seen"),
         F.sum(F.when(~live, 1).otherwise(0)).alias("late"),
         F.sum(F.when(live, 1).otherwise(0)).alias("n_live"),
         F.count_distinct(F.when(live, F.col("lsn"))).alias("n_live_distinct"),
-        F.sum(F.when(live & (F.col("op") != "S"), 1).otherwise(0)).alias("n_data"),
+        F.sum(F.when(is_data, 1).otherwise(0)).alias("n_data"),
+        F.collect_set(F.when(is_data, bcol)).alias("touched"),
+        F.count_distinct(
+            *[F.when(is_data, F.col(c)) for c in KEY_COLS]
+        ).alias("n_keys"),
         F.collect_list(
             F.when(live & (F.col("op") == "S"), F.struct("lsn", "schema_change"))
         ).alias("schema_rows"),
@@ -130,6 +190,7 @@ def apply_batch(
     m.duplicate_deliveries = (counts["n_live"] or 0) - (counts["n_live_distinct"] or 0)
     m.data_events = counts["n_data"] or 0
     m.schema_events = (counts["n_live"] or 0) - m.data_events
+    n_keys = counts["n_keys"] or 0
 
     # --- schema evolution (fold the collected control events, lsn order,
     # idempotent under duplicate deliveries)
@@ -139,131 +200,164 @@ def apply_batch(
     full_rewrite = requires_rewrite(changes)
     m.full_rewrite = full_rewrite
 
-    # --- dedup to per-key winners, project to table shape
-    data = batch.where(live & (F.col("op") != "S"))
-    data = remap_extra_keys(data, changes)
-    winners = dedup_last_writer(data, KEY_COLS, "lsn", salted=salted_dedup)
-    upd = _project_updates(winners, dyn_final, use_arrow_udfs=use_arrow_udfs).withColumn(
-        "_bucket", bucket_expr(table.n_buckets)
+    touched = sorted(int(b) for b in (counts["touched"] or []))
+    manifest_prev = table.manifest()
+    if full_rewrite:
+        committed = [int(b) for b in manifest_prev["files"]]
+        touched = sorted(set(touched) | set(committed))
+
+    if not touched and not full_rewrite:
+        # schema-only (add) or fully-late batch: metadata-only commit
+        table.commit(
+            table.version() + 1, None, [], max(ckpt, lsn_to), dyn_final, m.to_dict()
+        )
+        m.wall_secs = time.time() - t0
+        return m
+
+    # --- ONE fused merge+write job materializes everything below; the
+    # driver's up-front needs (touched buckets, key cardinality for the
+    # broadcast decision) already came from the counting aggregate, and
+    # per-op counters ride Observations on the write job itself.
+    data = batch.where(is_data)
+
+    # target side: only touched buckets are read & rewritten (CoW)
+    target = table.read(buckets=None if full_rewrite else touched)
+    target = evolve_table(target, changes, dyn_final)
+    data_cols = [c for c in target.columns]  # final table column order
+
+    # SLIM dedup: (key -> winning lsn + final op) from a column-pruned
+    # scan — the ~60-byte rows are the ONLY thing the conflict-resolution
+    # shuffle ever moves. The op rides in the low bits of the lsn
+    # (lsn << 2 | op_code) so the aggregate buffer is a single LONG:
+    # max_by over a string buffer would plan as SortAggregate (per-
+    # partition sort of the WHOLE batch), while max(long) stays a
+    # HashAggregate with map-side partial combine. Cached: it feeds two
+    # broadcasts (winner-lsn semi-filter, target carry/drop join).
+    op_code = F.when(F.col("op") == "D", 2).when(F.col("op") == "U", 1).otherwise(0)
+    slim = (
+        data.select(*KEY_COLS, (F.shiftleft(F.col("lsn"), 2) + op_code).alias("_p"))
+        .groupBy(*KEY_COLS)
+        .agg(F.max("_p").alias("_p"))
+        .select(
+            *KEY_COLS,
+            F.shiftright(F.col("_p"), 2).alias("lsn"),
+            F.element_at(
+                F.array(F.lit("I"), F.lit("U"), F.lit("D")),
+                (F.pmod(F.col("_p"), F.lit(4)) + 1).cast("int"),
+            ).alias("op"),
+        )
+        .persist()
     )
-    # observe only when data exists: on a provably-empty plan (e.g. a
-    # schema-only batch) Catalyst's empty-relation propagation elides the
-    # CollectMetrics node and Observation.get would fail
-    op_obs = Observation(f"ops_b{batch_id}") if m.data_events else None
-    if op_obs is not None:
-        upd = upd.observe(
-            op_obs,
-            F.sum(F.when(F.col("op").isin("I", "U"), 1).otherwise(0)).alias("n_iu"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_d"),
-        )
-    upd = upd.persist()
-
+    do_broadcast = n_keys <= BROADCAST_MAX_ROWS
     try:
-        # one action fills the cache, yields touched buckets AND (via the
-        # observation) per-op counters — no separate counting jobs
-        touched = sorted(
-            r["_bucket"] for r in upd.select("_bucket").distinct().collect()
+        return _merge_and_commit(
+            spark, table, m, slim, data, target, changes, dyn_final, touched,
+            full_rewrite, manifest_prev, do_broadcast, n_keys, ckpt, lsn_to,
+            batch_id, salted_dedup, use_arrow_udfs, t0,
         )
-        ops = op_obs.get if op_obs is not None else {}
-        n_iu = int(ops.get("n_iu") or 0)
-        n_d = int(ops.get("n_d") or 0)
-        m.winners = n_iu + n_d
-        m.conflicts_resolved = m.data_events - m.winners
-        manifest_prev = table.manifest()
-        if full_rewrite:
-            committed = [int(b) for b in manifest_prev["files"]]
-            touched = sorted(set(touched) | set(committed))
+    finally:
+        slim.unpersist()
 
-        if not touched and not full_rewrite:
-            # schema-only (add) or fully-late batch: metadata-only commit
-            table.commit(
-                table.version() + 1, None, [], max(ckpt, lsn_to), dyn_final, m.to_dict()
-            )
-            m.wall_secs = time.time() - t0
-            return m
 
-        # --- target side: only touched buckets are read & rewritten (CoW)
-        target = table.read(buckets=None if full_rewrite else touched)
-        target = evolve_table(target, changes, dyn_final)
+def _merge_and_commit(
+    spark, table, m, slim, data, target, changes, dyn_final, touched,
+    full_rewrite, manifest_prev, do_broadcast, n_keys, ckpt, lsn_to,
+    batch_id, salted_dedup, use_arrow_udfs, t0,
+):
+    bcol = bucket_expr(table.n_buckets)
+    data_cols = [c for c in target.columns]
 
-        data_cols = [c for c in target.columns]  # final table column order
-
-        upd_keys = upd.select(*KEY_COLS, "op")
-        if n_iu + n_d <= BROADCAST_MAX_ROWS:
-            upd_keys = F.broadcast(upd_keys)
-        j = target.join(upd_keys, on=KEY_COLS, how="left")
-        obs = Observation(f"merge_b{batch_id}")
+    slim_keys = slim.select(*KEY_COLS, "op")
+    if do_broadcast:
+        slim_keys = F.broadcast(slim_keys)
+    j = target.join(slim_keys, on=KEY_COLS, how="left")
+    target_known_empty = not manifest_prev["files"]
+    # (observation guard: on a provably-empty target plan Catalyst's
+    # empty-relation propagation can elide the CollectMetrics node)
+    tgt_obs = None if target_known_empty else Observation(f"merge_b{batch_id}")
+    if tgt_obs is not None:
         j = j.observe(
-            obs,
+            tgt_obs,
             F.sum(F.when(F.col("op").isNull(), 1).otherwise(0)).alias("carried"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deleted"),
             F.sum(F.when(F.col("op").isin("I", "U"), 1).otherwise(0)).alias("replaced"),
         )
-        # Both union branches arrive at the writer already bucket-aligned:
-        # - kept: target files are read per-bucket-dir, so each task holds
-        #   rows of exactly one bucket (broadcast join preserves that);
-        # - upserts: the dedup shuffle mixes every bucket into every task,
-        #   so ONE explicit repartition on _bucket (the small, deduped
-        #   winner set — not the raw batch) re-aligns it.
-        # partitionBy then writes O(n_buckets) files instead of
-        # O(tasks x n_buckets) — the small-file explosion is the write-side
-        # bottleneck at any scale.
-        kept = (
-            j.where(F.col("op").isNull())
-            .select(*data_cols)
-            .withColumn("_bucket", bucket_expr(table.n_buckets))
-        )
-        upserts = (
-            upd.where(F.col("op") != "D")
-            .select(*data_cols, "_bucket")
-            .repartition(max(len(touched), 1), "_bucket")
-        )
-        final = kept.unionByName(upserts)
 
-        version = table.version() + 1
-        out_dir = table.new_data_dir(version)
-        final.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
-
-        got = obs.get
-        m.deleted = int(got.get("deleted") or 0)
-        replaced = int(got.get("replaced") or 0)
-        m.updated = replaced
-        m.inserted = n_iu - replaced
-        m.delete_noop = n_d - m.deleted
-        m.rows_out = int(got.get("carried") or 0) + n_iu
-        m.buckets_touched = len(touched)
-
-        # per-partition lineage from the freshly written CoW dirs
-        has_bucket_dirs = os.path.isdir(out_dir) and any(
-            e.startswith("_bucket=") for e in os.listdir(out_dir)
+    # Full-content winners by SEMI-JOIN REDUCTION: lsn is unique, so the
+    # slim winners' lsn set (a few MB of longs, broadcast) filters the
+    # scan down to winner rows BEFORE any wide shuffle — the 2KB content
+    # column crosses the wire once, and only for rows that survive. The
+    # groupBy after the filter collapses duplicate deliveries of the same
+    # lsn (identical rows) and costs only |winners|, not |batch|.
+    winner_ids = slim.select("lsn")
+    if do_broadcast:
+        winner_ids = F.broadcast(winner_ids)
+    upd_src = remap_extra_keys(data.join(winner_ids, "lsn", "semi"), changes)
+    winners = dedup_last_writer(upd_src, KEY_COLS, "lsn", salted=salted_dedup)
+    upd = _project_updates(winners, dyn_final, use_arrow_udfs=use_arrow_udfs).withColumn(
+        "_bucket", bcol
+    )
+    win_obs = Observation(f"ops_b{batch_id}") if m.data_events else None
+    if win_obs is not None:
+        upd = upd.observe(
+            win_obs,
+            F.sum(F.when(F.col("op").isin("I", "U"), 1).otherwise(0)).alias("n_iu"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_d"),
         )
-        if has_bucket_dirs:
-            lineage_rows = (
-                spark.read.option("basePath", out_dir)
-                .parquet(out_dir)
-                .groupBy("_bucket")
-                .agg(F.count("*").alias("rows"), F.max("_last_lsn").alias("max_lsn"))
-                .collect()
-            )
-            m.lineage = {
-                str(r["_bucket"]): {
-                    "rows": r["rows"],
-                    "max_lsn": r["max_lsn"],
-                    "dir": f"data/v{version}/_bucket={r['_bucket']}",
-                }
-                for r in lineage_rows
-            }
 
-        table.commit(
-            version,
-            out_dir,
-            touched,
-            max(ckpt, lsn_to),
-            dyn_final,
-            m.to_dict(),
-            full_rewrite=full_rewrite,
-        )
-        m.wall_secs = time.time() - t0
-        return m
-    finally:
-        upd.unpersist()
+    # Both union branches arrive at the writer already bucket-aligned:
+    # - kept: target files are read per-bucket-dir, so each task holds
+    #   rows of exactly one bucket (broadcast join preserves that);
+    # - upserts: the dedup shuffle mixes every bucket into every task, so
+    #   ONE explicit repartition on _bucket (the small, deduped winner
+    #   set — not the raw batch) re-aligns it.
+    # partitionBy then writes O(n_buckets) files instead of
+    # O(tasks x n_buckets) — the small-file explosion is the write-side
+    # bottleneck at any scale.
+    kept = (
+        j.where(F.col("op").isNull())
+        .select(*data_cols)
+        .withColumn("_bucket", bucket_expr(table.n_buckets))
+    )
+    upserts = (
+        upd.where(F.col("op") != "D")
+        .select(*data_cols, "_bucket")
+        .repartition(max(len(touched), 1), "_bucket")
+    )
+    final = kept.unionByName(upserts)
+
+    version = table.version() + 1
+    out_dir = table.new_data_dir(version)
+    final.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+
+    ops = win_obs.get if win_obs is not None else {}
+    n_iu = int(ops.get("n_iu") or 0)
+    n_d = int(ops.get("n_d") or 0)
+    m.winners = n_iu + n_d
+    m.conflicts_resolved = m.data_events - m.winners
+    tgt = tgt_obs.get if tgt_obs is not None else {}
+    m.deleted = int(tgt.get("deleted") or 0)
+    replaced = int(tgt.get("replaced") or 0)
+    m.updated = replaced
+    m.inserted = n_iu - replaced
+    m.delete_noop = n_d - m.deleted
+    m.rows_out = int(tgt.get("carried") or 0) + n_iu
+    m.buckets_touched = len(touched)
+
+    # per-partition lineage from the freshly written CoW files' parquet
+    # footers (row counts + _last_lsn column stats) — pure metadata reads
+    # on the driver, no extra Spark job. This is the same stats harvest an
+    # Iceberg manifest commit performs, scoped to the touched buckets.
+    m.lineage = _lineage_from_footers(out_dir, version)
+
+    table.commit(
+        version,
+        out_dir,
+        touched,
+        max(ckpt, lsn_to),
+        dyn_final,
+        m.to_dict(),
+        full_rewrite=full_rewrite,
+    )
+    m.wall_secs = time.time() - t0
+    return m

@@ -23,21 +23,22 @@ def get_spark(
     - AQE on: runtime coalesce + skew-join splitting (SURVEY.md §4).
     - Arrow on: all Python-side transforms are pandas UDFs.
     - UTC session TZ: oracle (DuckDB) comparisons are TZ-naive UTC.
-    - shuffle partitions ~ cores in local mode, not the 200 default.
+    - shuffle partitions = 4x cores in local mode, not the 200 default:
+      1 task/core wave-quantizes (one straggler idles the whole pool at
+      the stage tail — measured 1.6x slower at local[32]); 4 waves keep
+      cores fed and AQE coalesces whatever ends up too small.
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         if master.startswith("local["):
             inner = master[len("local[") : -1]
-            if inner == "*":
-                shuffle_partitions = os.cpu_count() or 8
-            else:
-                shuffle_partitions = int(inner)
+            cores = (os.cpu_count() or 8) if inner == "*" else int(inner)
+            shuffle_partitions = 4 * cores
         elif cpus:
-            shuffle_partitions = int(cpus)
+            shuffle_partitions = 4 * int(cpus)
         else:
-            shuffle_partitions = 32
+            shuffle_partitions = 128
 
     b = (
         SparkSession.builder.master(master)
@@ -49,6 +50,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # min/max/count aggregates with no filter answer from parquet
+        # footer stats (the replay's LSN bounds probe becomes metadata-only)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

