@@ -150,6 +150,7 @@ def apply_batch(
     lsn_to: int,
     salted_dedup: bool = False,
     use_arrow_udfs: bool = False,
+    use_observations: bool = True,
 ) -> BatchMetrics:
     """Apply one LSN-bounded micro-batch exactly-once; returns metrics.
 
@@ -253,7 +254,7 @@ def apply_batch(
         return _merge_and_commit(
             spark, table, m, slim, data, target, changes, dyn_final, touched,
             full_rewrite, manifest_prev, do_broadcast, n_keys, ckpt, lsn_to,
-            batch_id, salted_dedup, use_arrow_udfs, t0,
+            batch_id, salted_dedup, use_arrow_udfs, use_observations, t0,
         )
     finally:
         slim.unpersist()
@@ -262,7 +263,7 @@ def apply_batch(
 def _merge_and_commit(
     spark, table, m, slim, data, target, changes, dyn_final, touched,
     full_rewrite, manifest_prev, do_broadcast, n_keys, ckpt, lsn_to,
-    batch_id, salted_dedup, use_arrow_udfs, t0,
+    batch_id, salted_dedup, use_arrow_udfs, use_observations, t0,
 ):
     bcol = bucket_expr(table.n_buckets)
     data_cols = [c for c in target.columns]
@@ -272,9 +273,17 @@ def _merge_and_commit(
         slim_keys = F.broadcast(slim_keys)
     j = target.join(slim_keys, on=KEY_COLS, how="left")
     target_known_empty = not manifest_prev["files"]
-    # (observation guard: on a provably-empty target plan Catalyst's
-    # empty-relation propagation can elide the CollectMetrics node)
-    tgt_obs = None if target_known_empty else Observation(f"merge_b{batch_id}")
+    # Observation guards: (a) on a provably-empty target plan Catalyst's
+    # empty-relation propagation can elide the CollectMetrics node;
+    # (b) under a Structured Streaming foreachBatch sink, CollectMetrics
+    # beneath a Union never reports (listener quirk) — the streaming
+    # front-end passes use_observations=False and the same counters are
+    # recomputed post-write from the cached slim + a pruned target scan.
+    tgt_obs = (
+        None
+        if (target_known_empty or not use_observations)
+        else Observation(f"merge_b{batch_id}")
+    )
     if tgt_obs is not None:
         j = j.observe(
             tgt_obs,
@@ -297,7 +306,11 @@ def _merge_and_commit(
     upd = _project_updates(winners, dyn_final, use_arrow_udfs=use_arrow_udfs).withColumn(
         "_bucket", bcol
     )
-    win_obs = Observation(f"ops_b{batch_id}") if m.data_events else None
+    win_obs = (
+        Observation(f"ops_b{batch_id}")
+        if (m.data_events and use_observations)
+        else None
+    )
     if win_obs is not None:
         upd = upd.observe(
             win_obs,
@@ -330,12 +343,38 @@ def _merge_and_commit(
     out_dir = table.new_data_dir(version)
     final.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
-    ops = win_obs.get if win_obs is not None else {}
+    if win_obs is not None:
+        ops = win_obs.get
+    elif m.data_events and not use_observations:
+        r = slim.agg(
+            F.sum(F.when(F.col("op").isin("I", "U"), 1).otherwise(0)).alias("n_iu"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_d"),
+        ).collect()[0]
+        ops = {"n_iu": r["n_iu"], "n_d": r["n_d"]}
+    else:
+        ops = {}
     n_iu = int(ops.get("n_iu") or 0)
     n_d = int(ops.get("n_d") or 0)
     m.winners = n_iu + n_d
     m.conflicts_resolved = m.data_events - m.winners
-    tgt = tgt_obs.get if tgt_obs is not None else {}
+    if tgt_obs is not None:
+        tgt = tgt_obs.get
+    elif not target_known_empty and not use_observations:
+        # recompute the carry/match split from a column-pruned target
+        # scan joined to the (cached, tiny) slim winners
+        r = (
+            target.select(*KEY_COLS)
+            .join(F.broadcast(slim.select(*KEY_COLS, "op")) if do_broadcast
+                  else slim.select(*KEY_COLS, "op"), on=KEY_COLS, how="left")
+            .agg(
+                F.sum(F.when(F.col("op").isNull(), 1).otherwise(0)).alias("carried"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deleted"),
+                F.sum(F.when(F.col("op").isin("I", "U"), 1).otherwise(0)).alias("replaced"),
+            ).collect()[0]
+        )
+        tgt = {"carried": r["carried"], "deleted": r["deleted"], "replaced": r["replaced"]}
+    else:
+        tgt = {}
     m.deleted = int(tgt.get("deleted") or 0)
     replaced = int(tgt.get("replaced") or 0)
     m.updated = replaced

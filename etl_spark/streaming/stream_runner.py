@@ -1,0 +1,99 @@
+"""Structured Streaming front-end for the CDC engine.
+
+The bounded-replay driver (cdc/runner.py) is a plain loop over LSN
+ranges — right for deterministic replay of a static log. This module is
+the UNBOUNDED front-end: the same exactly-once ``apply_batch`` hung off
+``readStream -> foreachBatch``, for a log directory that keeps growing
+(the reference's closest analog is the 10-minute Airflow cron windows,
+incidents_for_dashboards/main.py:359 — here the trigger replaces cron).
+
+Exactly-once composition: Structured Streaming's file source +
+checkpointLocation give at-least-once delivery of new log files;
+``apply_batch`` is idempotent under redelivery (events at-or-below the
+table's committed LSN count as late and drop, full batches below the
+checkpoint are recorded no-ops), so the composition is exactly-once on
+the table regardless of micro-batch replay. The table's own manifest —
+not Spark's offset log — remains the source of truth.
+
+Late data: the engine's watermark is the committed LSN itself. An event
+whose lsn <= checkpoint is counted in ``late_events`` and dropped
+(idempotent, D5 semantics); there is no event-time watermark state to
+maintain because conflict resolution is total-ordered by lsn.
+
+In-order contract: micro-batches must arrive in non-decreasing LSN
+order (a binlog/WAL tail appends files over time, and Spark's file
+source delivers oldest-mtime-first, so this holds for any real log
+directory). Within a batch, order is irrelevant — the per-key max-LSN
+reduce handles any interleaving. Cross-batch REGRESSIONS (an entire
+batch below the checkpoint) are dropped idempotently; a batch
+straddling the checkpoint has its stale prefix dropped row-wise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..cdc.lake import SnapshotTable
+from ..cdc.merge import apply_batch
+from ..cdc.metrics import BatchMetrics
+from ..cdc.schema import EVENT_SCHEMA
+
+
+def stream_replay(
+    spark: SparkSession,
+    events_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    salted_dedup: bool = False,
+    use_arrow_udfs: bool = False,
+    collected_metrics: list[BatchMetrics] | None = None,
+):
+    """Tail ``events_dir`` as a file stream and MERGE each micro-batch.
+
+    available_now=True drains everything currently in the directory and
+    stops (the batch-oriented test/replay mode); False runs until
+    ``query.stop()`` with the default trigger. Returns the streaming
+    query handle (call ``awaitTermination()``).
+    """
+    reader = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        if max_files_per_trigger
+        else spark.readStream.schema(EVENT_SCHEMA)
+    )
+    stream = reader.parquet(events_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # the micro-batch is whatever files arrived; its LSN range is
+        # discovered, not assumed — apply_batch's checkpoint logic does
+        # the late/duplicate accounting
+        bounds = batch_df.selectExpr(
+            "min(lsn) as lo", "max(lsn) as hi"
+        ).collect()[0]
+        if bounds["hi"] is None:
+            return
+        bm = apply_batch(
+            spark,
+            table,
+            batch_df,
+            table.version() + 1,
+            int(bounds["lo"]) - 1,
+            int(bounds["hi"]),
+            salted_dedup=salted_dedup,
+            use_arrow_udfs=use_arrow_udfs,
+            # CollectMetrics under a Union never reports inside a
+            # foreachBatch sub-execution; metrics are recomputed from the
+            # slim winners + a pruned target scan instead (merge.py)
+            use_observations=False,
+        )
+        if collected_metrics is not None:
+            collected_metrics.append(bm)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
