@@ -117,7 +117,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "late_filter": """
             SELECT event_type,
-                   sum(CASE WHEN event_id <= 5000 THEN 1 ELSE 0 END) AS late_events,
+                   CAST(sum(CASE WHEN event_id <= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS late_events,
                    count(*) AS total
             FROM events GROUP BY event_type
         """,

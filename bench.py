@@ -236,6 +236,41 @@ def run_scaling(pairs: list[tuple[int, int]], n_events: int, repeats: int = 3) -
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _scaling_verdict_prose(res: dict) -> str:
+    """State the measured result plainly — pass or miss — instead of a
+    fixed narrative that could overstate it."""
+    met = [p for p in res["pairs"] if p["efficiency"] >= 0.8]
+    missed = [p for p in res["pairs"] if p["efficiency"] < 0.8]
+
+    def _fmt(p):
+        return f"{p['small_cores']} -> {p['big_cores']} at {p['efficiency']}"
+
+    lines = []
+    if met:
+        lines.append(
+            "Pairs MEETING the >=0.8 target: "
+            + "; ".join(_fmt(p) for p in met) + "."
+        )
+    if missed:
+        lines.append(
+            "Pairs BELOW the >=0.8 target: "
+            + "; ".join(_fmt(p) for p in missed) + "."
+        )
+    if not met:
+        lines.append(
+            "No measured pair meets the target on this single-VM sandbox."
+        )
+    lines.append(
+        "Single-host caveat: all parallelism levels share one kernel, one "
+        "page cache and one memory bus, so high core counts are capped by "
+        "kernel-side I/O (system time >30% at local[32] moving shuffle/scan "
+        "bytes) — a ceiling a real multi-executor cluster does not have. "
+        "Pairs where BOTH levels are far below that ceiling are the "
+        "faithful model of N -> 4N separate executors."
+    )
+    return "\n".join(lines)
+
+
 def write_scaling_md(res: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     rows = []
@@ -271,19 +306,7 @@ from host contention.
 |---|---|---|---|
 {chr(10).join(pair_rows)}
 
-The 2 -> 8 pair is the clean-scaling evidence. The 8 -> 32 pair on
-this single VM is capped by kernel-side I/O: with 32 worker threads
-the box spends >30% of all CPU in system time moving shuffle/scan
-bytes through one kernel (page-cache starved virtio disk, tmpfs
-memcpy), an artifact a real cluster does not have — there, every
-executor brings its own kernel, disks, and memory bus, which is
-exactly what the (2 -> 8) pair models (both levels far from any
-single-host resource ceiling). Pure-JVM compute on this VM scales
-8 -> 32 at 0.81 efficiency (measured with a codegen'd xxhash
-aggregation), so the engine's plans themselves have no serial choke
-point: per-batch driver work is 3 fixed actions (one column-pruned
-counting aggregate, one fused merge+write job, one lineage read) and
-everything else is embarrassingly parallel per bucket.
+{_scaling_verdict_prose(res)}
 
 Determinism under parallelism: final table state hash identical across
 ALL parallelism levels: **{res['state_match']}**

@@ -68,3 +68,34 @@ def dedup_last_writer(
     else:
         p2 = events.groupBy(*key_cols).agg(F.max_by(row, F.col(order_col)).alias("_r"))
     return p2.select("_r.*")
+
+
+def dedup_last_writer_slim(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "lsn",
+) -> DataFrame:
+    """Per-key last-writer via SLIM aggregate + semi-join back.
+
+    Requires ``order_col`` to be globally unique (lsn/event_id are). Two
+    narrow steps instead of one wide ``max_by(struct)``:
+
+    1. ``groupBy(key).agg(max(order))`` — a single-LONG buffer, so it
+       plans as HashAggregate with map-side partial combine. max_by over
+       a full-row struct buffer plans as SortAggregate (per-partition
+       sort of EVERY event, all columns wide) — the same regression the
+       merge path avoids with its packed-long slim aggregate
+       (merge.py:237-251).
+    2. semi-join the events scan on the winning order values — the wide
+       columns cross the wire once, only for winner rows.
+
+    At 100 TB step 1 shuffles ~16-byte rows instead of full events, and
+    AQE broadcasts the winner-id side when it is small.
+    """
+    key_cols = key_cols or ["repo", "path"]
+    winner_ids = (
+        events.groupBy(*key_cols)
+        .agg(F.max(order_col).alias(order_col))
+        .select(order_col)
+    )
+    return events.join(winner_ids, order_col, "semi")

@@ -166,6 +166,16 @@ def apply_batch(
         m.wall_secs = time.time() - t0
         return m
 
+    # The packed-long conflict resolution rides op in the low 2 bits of
+    # (lsn << 2); lsn >= 2^61 would overflow the long and corrupt winner
+    # selection. Enforce the ingestion contract here rather than
+    # corrupting silently (real 64-bit WAL positions must be re-based).
+    if lsn_to >= (1 << 61):
+        raise ValueError(
+            f"lsn {lsn_to} >= 2^61: out of range for packed-long conflict "
+            "resolution; re-base the log's LSNs at ingestion"
+        )
+
     # --- batch-level counts + schema-control events + touched buckets +
     # key cardinality, ONE column-pruned pass over the batch scan (the
     # collected sets stay tiny: schema events are rare, buckets <= n_buckets)
@@ -272,7 +282,14 @@ def _merge_and_commit(
     if do_broadcast:
         slim_keys = F.broadcast(slim_keys)
     j = target.join(slim_keys, on=KEY_COLS, how="left")
-    target_known_empty = not manifest_prev["files"]
+    # "Known empty" must match what table.read() actually resolved: a
+    # non-empty manifest whose TOUCHED buckets all happen to be new still
+    # yields an empty LocalRelation (the plan shape under which Catalyst
+    # can elide CollectMetrics), so guard on the resolved bucket dirs,
+    # not on manifest emptiness.
+    target_known_empty = not table._bucket_dirs(  # noqa: SLF001
+        manifest_prev, None if full_rewrite else touched
+    )
     # Observation guards: (a) on a provably-empty target plan Catalyst's
     # empty-relation propagation can elide the CollectMetrics node;
     # (b) under a Structured Streaming foreachBatch sink, CollectMetrics

@@ -43,6 +43,50 @@ def cosine_col(a, b):
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
 
+def _topk_per_probe(scored: DataFrame, k: int) -> DataFrame:
+    """Bounded two-phase top-k per probe (cos desc, neighbor_id asc).
+
+    An unbounded ``collect_list`` per probe buffers O(|candidates|) rows
+    in ONE aggregation buffer — for brute force that is the whole corpus
+    per probe, an executor OOM at scale. Instead:
+
+    1. local phase: group by (probe, spark_partition_id) — each buffer
+       holds only one input partition's candidates for one probe, bounded
+       by spark.sql.files.maxPartitionBytes, then sliced to k;
+    2. merge phase: group by probe over the <=k-element partial arrays —
+       buffer bounded by n_partitions x k (and flatten+sort+slice is
+       O(P k log Pk) driver-free work per probe).
+
+    Ties are deterministic: sort key is (cos desc, neighbor_id asc) via
+    the (cos, -neighbor_id) struct ordering.
+    """
+    item = F.struct(
+        F.col("cos"), (-F.col("neighbor_id")).alias("ni"), F.col("neighbor_id")
+    )
+    local = scored.groupBy("probe_id", F.spark_partition_id().alias("_pid")).agg(
+        F.slice(F.sort_array(F.collect_list(item), asc=False), 1, k).alias("part")
+    )
+    merged = local.groupBy("probe_id").agg(
+        F.slice(
+            F.array_sort(
+                F.flatten(F.collect_list("part")),
+                lambda a, b: F.when(a["cos"] > b["cos"], -1)
+                .when(a["cos"] < b["cos"], 1)
+                .when(a["ni"] > b["ni"], -1)
+                .when(a["ni"] < b["ni"], 1)
+                .otherwise(0),
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return merged.select("probe_id", F.explode("top").alias("t")).select(
+        "probe_id",
+        F.col("t.neighbor_id").alias("neighbor_id"),
+        F.col("t.cos").alias("cos"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -72,23 +116,7 @@ def brute_force_topk(
             cosine_col(F.col("pv"), F.col("cv")).alias("cos"),
         )
     )
-    # top-k per probe without a global sort: collect + slice, ordered by
-    # (cos desc, neighbor_id asc) — deterministic ties.
-    agg = scored.groupBy("probe_id").agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("cos"), (-F.col("neighbor_id")).alias("ni"), F.col("neighbor_id"))
-                ),
-                asc=False,
-            ),
-            1,
-            k,
-        ).alias("top")
-    )
-    return agg.select(
-        "probe_id", F.explode("top").alias("t")
-    ).select("probe_id", F.col("t.neighbor_id").alias("neighbor_id"), F.col("t.cos").alias("cos"))
+    return _topk_per_probe(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -176,21 +204,7 @@ def lsh_topk(
             cosine_col(F.col("pv"), F.col("cv")).alias("cos"),
         )
     )
-    agg = scored.groupBy("probe_id").agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("cos"), (-F.col("neighbor_id")).alias("ni"), F.col("neighbor_id"))),
-                asc=False,
-            ),
-            1,
-            k,
-        ).alias("top")
-    )
-    return agg.select("probe_id", F.explode("top").alias("t")).select(
-        "probe_id",
-        F.col("t.neighbor_id").alias("neighbor_id"),
-        F.col("t.cos").alias("cos"),
-    )
+    return _topk_per_probe(scored, k)
 
 
 def embedding_neardup_pairs(

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .cdc.dedup import dedup_last_writer
+from .cdc.dedup import dedup_last_writer_slim
 from .operators import dedup_text, similarity, textstats
 from .operators.multimodal import extract_features, synthesize_media
 from .sources.readers import table
@@ -35,7 +35,7 @@ def q_window_dedup(spark, sf_dir) -> DataFrame:
     """D2: per-key max-LSN dedup window (SURVEY.md §2.6)."""
     _prep(spark)
     ev = table(spark, sf_dir, "events")
-    last = dedup_last_writer(ev, ["user_id"], "event_id")
+    last = dedup_last_writer_slim(ev, ["user_id"], "event_id")
     return last.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -49,7 +49,7 @@ def q_cdc_merge_upsert(spark, sf_dir) -> DataFrame:
     the stream; 'error' acts as the delete op."""
     _prep(spark)
     ev = table(spark, sf_dir, "events")
-    last = dedup_last_writer(ev, ["user_id"], "event_id")
+    last = dedup_last_writer_slim(ev, ["user_id"], "event_id")
     return last.where(F.col("event_type") != "error").select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -85,18 +85,19 @@ def q_cdc_replay_snapshot(spark, sf_dir) -> DataFrame:
         F.lit(None).cast("map<string,string>").alias("extra"),
         F.lit(None).cast(EVENT_SCHEMA["schema_change"].dataType).alias("schema_change"),
     )
+    # Session-scoped table dir: outlives this call so the returned scan
+    # stays LAZY (no driver-side collect — at 100x the snapshot would OOM
+    # the driver). Cleaned up at interpreter exit.
+    import atexit
+
     root = tempfile.mkdtemp(prefix="etl_spark_replay_")
-    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     t = SnapshotTable(spark, root, n_buckets=8)
     replay(spark, log, t, batch_size=4000)
-    out = t.read().select(
+    return t.read().select(
         "repo", "path", "commit", "content", "content_sha256",
         F.col("_last_lsn").alias("last_lsn"),
     )
-    rows = out.collect()  # materialize before the table dir is cleaned
-    df = spark.createDataFrame(rows, out.schema)
-    shutil.rmtree(root, ignore_errors=True)
-    return df
 
 
 def q_group_max(spark, sf_dir) -> DataFrame:
@@ -142,21 +143,18 @@ def q_coalesce_merge(spark, sf_dir) -> DataFrame:
     _prep(spark)
     ev = table(spark, sf_dir, "events")
     v = F.when(F.col("event_type") != "view", F.col("value"))
+    # max_by with a single-value buffer (null ordering keys are ignored by
+    # the max, so null v rows never win): HashAggregate with map-side
+    # partial combine. The earlier collect_list+sort_array buffered a hot
+    # key's ENTIRE history in one aggregation buffer — an executor OOM at
+    # 100x scale.
     picked = ev.groupBy("user_id").agg(
-        F.try_element_at(
-            F.sort_array(
-                F.collect_list(
-                    F.when(v.isNotNull(), F.struct(F.col("event_id"), v.alias("v")))
-                ),
-                asc=False,
-            ),
-            F.lit(1),
-        ).alias("pick"),
+        F.max_by(v, F.when(v.isNotNull(), F.col("event_id"))).alias("last_v"),
         F.max("ts").alias("last_ts"),
     )
     return picked.select(
         "user_id",
-        F.round(F.col("pick.v"), 6).alias("last_nonnull_value"),
+        F.round(F.col("last_v"), 6).alias("last_nonnull_value"),
         "last_ts",
     )
 

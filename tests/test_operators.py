@@ -108,6 +108,21 @@ def test_simhash_bands_and_hamming(spark, planted_docs):
     assert (100, 104) not in got
 
 
+def test_simhash_hot_chunk_cap_bounds_candidates(spark):
+    """A planted hot chunk value (many docs sharing one 16-bit chunk)
+    must not produce m^2 candidate pairs when max_df caps the bucket:
+    with 40 identical docs, uncapped banding yields 40*39/2 pairs;
+    max_df=5 must drop the hot buckets entirely."""
+    rows = [(i, "constant text shared by every doc") for i in range(40)]
+    rows += [(100 + i, f"unique document {i} " + " ".join(f"w{i}_{j}" for j in range(10)))
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup_text.simhash_pairs(df, max_hamming=3, max_df=None)
+    capped = dedup_text.simhash_pairs(df, max_hamming=3, max_df=5)
+    assert uncapped.count() >= 40 * 39 // 2
+    assert capped.count() == 0
+
+
 # --------------------------------------------------------------------------
 # ANN recall
 # --------------------------------------------------------------------------

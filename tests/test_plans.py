@@ -21,9 +21,11 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_filtered_scan_pushes_predicates(spark):
     df = QUERIES["filtered_scan"](spark, SF_DIR)
     assert has_pushed_filters(df, "IsNotNull(props)", "EqualTo(event_type,click)")
-    # the scan must not read columns the query never touches
-    assert "props" not in read_schema_columns(df) - {"props"} or True
-    assert read_schema_columns(df) <= {"event_id", "user_id", "value", "ts", "event_type", "props"}
+    # the scan must read exactly the referenced columns (projection +
+    # filter columns), nothing else
+    assert read_schema_columns(df) == {
+        "event_id", "user_id", "value", "ts", "event_type", "props",
+    }
 
 
 def test_identity_hash_prunes_columns(spark):
@@ -46,15 +48,17 @@ def test_group_max_partial_agg(spark):
 
 
 def test_window_dedup_is_aggregate_not_window(spark):
-    """The per-key max-LSN dedup must plan as an aggregate with map-side
-    partial combine (the two-phase 'salted' reduce for free), NOT as a
-    sort-window, which would shuffle and sort EVERY event of a hot key
-    into one task. (max_by over a full-row struct buffer planes as
-    SortAggregate — still partial+final, still no Window.)"""
+    """The per-key max-LSN dedup must plan as the slim shape: a
+    HashAggregate over a single-long buffer (map-side partial combine —
+    the two-phase 'salted' reduce for free) + a semi-join back for the
+    wide columns. Neither a sort-window (shuffles and sorts EVERY event
+    of a hot key into one task) nor a SortAggregate over full-row
+    structs (per-partition sort of all events, wide) is acceptable."""
     df = QUERIES["window_dedup"](spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "Aggregate" in plan
-    assert "partial_max_by" in plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "partial_max" in plan
     assert "Window" not in plan
 
 
@@ -80,6 +84,30 @@ def test_slim_dedup_is_hash_aggregate(spark, tmp_path):
     assert "HashAggregate" in plan and "SortAggregate" not in plan
     assert "partial_max" in plan
     assert "content" not in read_schema_columns(slim)
+
+
+def test_coalesce_merge_has_bounded_buffers(spark):
+    """last-non-null-per-key must use max_by (single-value buffer,
+    HashAggregate, map-side partial combine) — not collect_list of a
+    key's whole history (executor OOM on a hot key at scale)."""
+    df = QUERIES["coalesce_merge"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "collect_list" not in plan
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    assert "partial_max" in plan
+
+
+def test_topk_buffers_are_partition_bounded(spark):
+    """The per-probe top-k must be the two-phase shape: local phase
+    groups by (probe, spark_partition_id) so no aggregation buffer ever
+    exceeds one input partition, merge phase only sees <=k-element
+    arrays. A single collect_list per probe would buffer the whole
+    corpus per probe."""
+    for q in ("ann_brute_topk", "ann_lsh_topk"):
+        plan = formatted_plan(QUERIES[q](spark, SF_DIR))
+        assert "SPARK_PARTITION_ID" in plan.upper(), q
+        # both phases slice to k before anything leaves the aggregate
+        assert plan.count("slice") >= 2, q
 
 
 def test_replay_batch_scan_prunes_lsn_range(spark, tmp_path):
