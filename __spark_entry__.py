@@ -89,6 +89,101 @@ def oracle_sql() -> dict[str, str]:
                    lsn AS last_lsn
             FROM last WHERE rn = 1 AND op <> 'D'
         """,
+        "predicate_delete": """
+            WITH log AS (
+              SELECT event_id AS lsn,
+                     CASE WHEN event_type = 'error' THEN 'D'
+                          WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+                     'u' || CAST(user_id % 50 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     md5(CAST(event_id AS VARCHAR)) AS commit,
+                     CASE WHEN event_type <> 'error' THEN props END AS content
+              FROM events),
+            last AS (
+              SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+              FROM log)
+            SELECT repo, path, commit, sha256(content) AS content_sha256,
+                   lsn AS last_lsn
+            FROM last WHERE rn = 1 AND op <> 'D' AND lsn > 5000
+        """,
+        "touch_first_last_seen": """
+            WITH log AS (
+              SELECT event_id AS lsn,
+                     'u' || CAST(user_id % 50 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     md5(CAST(event_id AS VARCHAR)) AS commit,
+                     ts
+              FROM events),
+            last AS (
+              SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+              FROM log),
+            seen AS (
+              SELECT repo, path, min(ts) AS first_seen, max(ts) AS last_seen
+              FROM log GROUP BY repo, path)
+            SELECT l.repo, l.path, l.commit, s.first_seen, s.last_seen,
+                   l.lsn AS last_lsn
+            FROM last l JOIN seen s USING (repo, path) WHERE l.rn = 1
+        """,
+        "coalesce_content_merge": """
+            WITH log AS (
+              SELECT event_id AS lsn,
+                     'u' || CAST(user_id % 50 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     md5(CAST(event_id AS VARCHAR)) AS commit,
+                     CASE WHEN event_type <> 'view' THEN props END AS content
+              FROM events),
+            cv AS (
+              SELECT DISTINCT repo, path,
+                     last_value(content IGNORE NULLS) OVER (
+                       PARTITION BY repo, path ORDER BY lsn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                       AS content
+              FROM log),
+            last AS (
+              SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+              FROM log)
+            SELECT l.repo, l.path, l.commit, c.content,
+                   sha256(c.content) AS content_sha256, l.lsn AS last_lsn
+            FROM last l JOIN cv c USING (repo, path) WHERE l.rn = 1
+        """,
+        "cidr_longest_match": """
+            WITH ips AS (
+              SELECT event_id,
+                     167772160 + (user_id % 8) * 65536
+                       + ((user_id * 7) % 250) * 256 + (event_id % 250) AS ipl
+              FROM events),
+            nets AS (
+              SELECT * FROM (VALUES
+                ('10.0.0.0/8', 167772160, 8), ('10.3.0.0/16', 167968768, 16),
+                ('10.3.9.0/24', 167971072, 24), ('10.100.0.0/14', 174325760, 14),
+                ('10.5.0.0/22', 168099840, 22), ('11.0.0.0/8', 184549376, 8)
+              ) AS t(cidr, netl, plen)),
+            cand AS (
+              SELECT i.event_id, n.cidr, n.plen
+              FROM ips i JOIN nets n
+                ON (i.ipl >> (32 - n.plen)) = (n.netl >> (32 - n.plen))),
+            best AS (SELECT event_id, max(plen) AS plen FROM cand GROUP BY 1),
+            m AS (
+              SELECT c.event_id, min(c.cidr) AS cidr
+              FROM cand c JOIN best b USING (event_id, plen) GROUP BY 1)
+            SELECT cidr, count(*) AS n_rows FROM m GROUP BY cidr
+        """,
+        "csv_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY lang
+        """,
+        "scalar_conversions": """
+            SELECT event_id,
+                   epoch_ms(CAST(floor(epoch(ts)) * 1000
+                            + CAST(floor(value * 100) AS BIGINT) % 1000 AS BIGINT))
+                       AS ts_ms,
+                   strftime(ts, '%Y-%m-%d %H:00') AS hour_str,
+                   CASE WHEN props <> '' THEN props END AS props_norm,
+                   CAST(coalesce(value, 0.0) AS DECIMAL(12,2)) AS value_filled
+            FROM events WHERE event_id < 2000
+        """,
         "group_max": """
             SELECT user_id, event_type, max(ts) AS max_ts, count(*) AS n,
                    round(sum(value), 6) AS sum_value

@@ -8,18 +8,24 @@ Reference semantics implemented here (SURVEY.md §2.2):
 - D1 identity-hash invariant  (transform_load.py:176-203) — content_sha256
 - A6 run-metrics counters     (multiple; see metrics.py)
 
-Physical plan — exactly THREE Spark actions per batch, chosen over both
+Physical plan — exactly TWO Spark actions per batch, chosen over both
 a full-outer join and a cached-updates design deliberately:
 
-    1. counting aggregate over the (column-pruned) batch scan: all batch
-       metrics + schema-control events + touched buckets + key count.
+    1. slim conflict-resolution build: groupBy(key).agg(max(lsn<<2|op),
+       count) — persisted. Its stats probe (key count + distinct buckets
+       + data-row count) is the action that materializes the cache; ALL
+       batch-level control metrics (seen/late/schema events) ride the
+       same single pass as a CollectMetrics observation, so the batch is
+       scanned once, narrow. A narrow count_distinct(lsn) job (longs
+       only) then gives the exact duplicate-delivery count.
     2. the fused merge+write job:
          target(touched buckets)  LEFT JOIN  broadcast(slim key->op)
              -> keep unmatched rows ("carry"), drop matched
-         UNION  winners(full content dedup) with op in (I,U),
-             repartitioned by _bucket
+         UNION  winners(content semi-joined on winner lsns; the dedup
+             groupBy is SKIPPED when step 1 proved the batch
+             duplicate-free), repartitioned by _bucket
          -> write partitionBy(_bucket)                     -- CoW dirs
-    3. (driver-side, no job) per-bucket lineage from parquet footers.
+    Then (driver-side, no job) per-bucket lineage from parquet footers.
 
 Why this shape:
 - Spark cannot broadcast either side of a FULL OUTER join, so the naive
@@ -39,6 +45,7 @@ Why this shape:
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -57,15 +64,22 @@ from .evolve import (
 )
 from .lake import SnapshotTable
 from .metrics import BatchMetrics
+from .policies import BASE_EVENT_VALUE_COLS, NO_POLICIES, SEEN_COLS, MergePolicies
 from .schema import KEY_COLS
 
 # Above this many distinct keys per batch, skip the broadcast hints and let
 # AQE pick the join. A broadcast table is built single-threaded on the
-# driver and shipped to every executor — at ~60 B/key, 1M keys is ~60 MB,
-# about where the serial build + per-executor ship cost crosses the cost of
-# a parallel shuffle join (and on a 1000-executor cluster the ship cost is
-# multiplied 1000x, so the threshold errs low).
-BROADCAST_MAX_ROWS = 1_000_000
+# driver and shipped to every executor — a SERIAL, cores-independent cost
+# per batch, so it is also the first thing that caps N->4N scaling
+# efficiency: measured on this box, building two ~1M-row broadcasts adds
+# ~4 s/batch at any parallelism, ~5% of a 2-core batch but ~20% of an
+# 8-core one. At ~60 B/key, 100k keys is ~6 MB — cheap to build and ship;
+# beyond that the parallel shuffle join wins on any cluster size (and on
+# a 1000-executor cluster the ship cost is multiplied 1000x). Measured on
+# this box at ~1M keys/batch the broadcast still beats the string-key SMJ
+# at every parallelism level (167k vs 110k eps at 8 cores), so the default
+# stays 1M; tune per cluster via ETL_SPARK_BROADCAST_MAX_ROWS.
+BROADCAST_MAX_ROWS = int(os.environ.get("ETL_SPARK_BROADCAST_MAX_ROWS", "1000000"))
 
 
 def _lineage_from_footers(out_dir: str, version: int) -> dict:
@@ -103,8 +117,16 @@ def _lineage_from_footers(out_dir: str, version: int) -> dict:
     return lineage
 
 
+def _event_value_expr(col: str):
+    """Value of a (possibly dynamic) payload column on an event row."""
+    return F.col(col) if col in BASE_EVENT_VALUE_COLS else F.element_at(F.col("extra"), col)
+
+
 def _project_updates(
-    winners: DataFrame, dyn_final: list[tuple[str, str]], use_arrow_udfs: bool = False
+    winners: DataFrame,
+    dyn_final: list[tuple[str, str]],
+    use_arrow_udfs: bool = False,
+    overrides: dict | None = None,
 ) -> DataFrame:
     """Winner events -> lake-table row shape (+op for merge routing).
 
@@ -120,25 +142,84 @@ def _project_updates(
       per-row Python). Runs on deduped winners only, the minimum row
       count that ever crosses the Python boundary.
     """
+    overrides = overrides or {}
+    # policy overrides replace the raw event value (e.g. coalesce with
+    # the previous value); content_sha256 is ALWAYS computed from the
+    # FINAL content expression so the identity invariant holds after any
+    # policy merge
+    content_col = overrides.get("content", F.col("content"))
+    raw_lang = overrides.get("lang", F.col("lang"))
     if use_arrow_udfs:
-        lang_col = lang_norm(F.col("lang"))
-        sha_col = sha256_hex(F.col("content"))
+        lang_col = lang_norm(raw_lang)
+        sha_col = sha256_hex(content_col)
     else:
-        lang_col = lang_norm_expr(F.col("lang"))
-        sha_col = F.sha2(F.col("content"), 256)
+        lang_col = lang_norm_expr(raw_lang)
+        sha_col = F.sha2(content_col, 256)
     cols = [
         F.col("repo"),
         F.col("path"),
-        F.col("commit"),
+        overrides.get("commit", F.col("commit")).alias("commit"),
         lang_col.alias("lang"),
-        F.col("content"),
+        content_col.alias("content"),
         sha_col.alias("content_sha256"),
         F.col("lsn").alias("_last_lsn"),
     ]
     for name, ddl in dyn_final:
-        cols.append(F.element_at(F.col("extra"), name).cast(ddl).alias(name))
+        expr = overrides.get(name, F.element_at(F.col("extra"), name).cast(ddl))
+        cols.append(expr.cast(ddl).alias(name))
     cols.append(F.col("op"))
     return winners.select(*cols)
+
+
+def _apply_policies(winners, slim, data, target, policies: MergePolicies,
+                    do_broadcast: bool):
+    """Resolve column merge policies into winner-row override expressions.
+
+    Everything stays |keys|-sized and narrow where possible:
+    - batch-side values come from a semi-join of the batch scan on the
+      slim lsn-POINTERS (broadcast longs), never a shuffle of the batch;
+    - target-side current values come from a column-pruned scan of the
+      touched buckets, semi-reduced to matched keys before joining.
+    """
+    overrides: dict = {}
+    w = winners
+
+    for c in policies.coalesce_cols:
+        ptr = slim.select(*KEY_COLS, F.col(f"_pl_{c}").alias("_ptr"))
+        ids = ptr.where(F.col("_ptr").isNotNull()).select(F.col("_ptr").alias("lsn"))
+        if do_broadcast:
+            ids = F.broadcast(ids)
+        vals = (
+            data.join(ids, "lsn", "semi")
+            .select(F.col("lsn").alias("_ptr"), _event_value_expr(c).alias(f"_bv_{c}"))
+        )
+        kv = ptr.join(vals, "_ptr", "left").select(*KEY_COLS, f"_bv_{c}")
+        w = w.join(kv, KEY_COLS, "left")
+
+    tgt_cols = list(policies.coalesce_cols) + (
+        ["first_seen", "last_seen"] if policies.track_seen else []
+    )
+    slim_keys = slim.select(*KEY_COLS)
+    if do_broadcast:
+        slim_keys = F.broadcast(slim_keys)
+    old = (
+        target.join(slim_keys, KEY_COLS, "semi")
+        .select(*KEY_COLS, *[F.col(c).alias(f"_old_{c}") for c in tgt_cols])
+    )
+    w = w.join(old, KEY_COLS, "left")
+
+    for c in policies.coalesce_cols:
+        # last non-null in the batch, else the target's current value
+        overrides[c] = F.coalesce(F.col(f"_bv_{c}"), F.col(f"_old_{c}"))
+    if policies.track_seen:
+        seen = slim.select(*KEY_COLS, "_fs", "_ls")
+        if do_broadcast:
+            seen = F.broadcast(seen)
+        w = w.join(seen, KEY_COLS, "left")
+        # least/greatest skip nulls, so a fresh key takes the batch value
+        overrides["first_seen"] = F.least(F.col("_fs"), F.col("_old_first_seen"))
+        overrides["last_seen"] = F.greatest(F.col("_ls"), F.col("_old_last_seen"))
+    return w, overrides
 
 
 def apply_batch(
@@ -151,6 +232,7 @@ def apply_batch(
     salted_dedup: bool = False,
     use_arrow_udfs: bool = False,
     use_observations: bool = True,
+    policies: MergePolicies = NO_POLICIES,
 ) -> BatchMetrics:
     """Apply one LSN-bounded micro-batch exactly-once; returns metrics.
 
@@ -176,65 +258,32 @@ def apply_batch(
             "resolution; re-base the log's LSNs at ingestion"
         )
 
-    # --- batch-level counts + schema-control events + touched buckets +
-    # key cardinality, ONE column-pruned pass over the batch scan (the
-    # collected sets stay tiny: schema events are rare, buckets <= n_buckets)
+    # --- ONE pass over the batch builds everything the driver needs:
+    # the batch counts + schema-control events ride a CollectMetrics
+    # observation ON the slim conflict-resolution job, so there is no
+    # separate counting scan at all (it used to be ~25% of batch wall
+    # time and scaled worst of all phases).
     live = F.col("lsn") > ckpt
     is_data = live & (F.col("op") != "S")
-    bcol = bucket_expr(table.n_buckets)
-    counts = batch.agg(
+    control_exprs = [
         F.count("*").alias("seen"),
         F.sum(F.when(~live, 1).otherwise(0)).alias("late"),
         F.sum(F.when(live, 1).otherwise(0)).alias("n_live"),
-        F.count_distinct(F.when(live, F.col("lsn"))).alias("n_live_distinct"),
         F.sum(F.when(is_data, 1).otherwise(0)).alias("n_data"),
-        F.collect_set(F.when(is_data, bcol)).alias("touched"),
-        F.count_distinct(
-            *[F.when(is_data, F.col(c)) for c in KEY_COLS]
-        ).alias("n_keys"),
+        # as JSON strings: Observation rows cannot carry nested structs
+        # across the py4j boundary (toPyRow assertion); schema events are
+        # rare so the strings stay tiny
         F.collect_list(
-            F.when(live & (F.col("op") == "S"), F.struct("lsn", "schema_change"))
+            F.when(
+                live & (F.col("op") == "S"),
+                F.to_json(F.struct("lsn", "schema_change")),
+            )
         ).alias("schema_rows"),
-    ).collect()[0]
-    m.events_seen = counts["seen"] or 0
-    m.late_events = counts["late"] or 0
-    m.duplicate_deliveries = (counts["n_live"] or 0) - (counts["n_live_distinct"] or 0)
-    m.data_events = counts["n_data"] or 0
-    m.schema_events = (counts["n_live"] or 0) - m.data_events
-    n_keys = counts["n_keys"] or 0
-
-    # --- schema evolution (fold the collected control events, lsn order,
-    # idempotent under duplicate deliveries)
-    changes: list[SchemaChange] = extract_schema_changes(counts["schema_rows"])
-    dyn_prev = table.dyn_schema()
-    dyn_final = apply_to_dyn_schema(dyn_prev, changes)
-    full_rewrite = requires_rewrite(changes)
-    m.full_rewrite = full_rewrite
-
-    touched = sorted(int(b) for b in (counts["touched"] or []))
-    manifest_prev = table.manifest()
-    if full_rewrite:
-        committed = [int(b) for b in manifest_prev["files"]]
-        touched = sorted(set(touched) | set(committed))
-
-    if not touched and not full_rewrite:
-        # schema-only (add) or fully-late batch: metadata-only commit
-        table.commit(
-            table.version() + 1, None, [], max(ckpt, lsn_to), dyn_final, m.to_dict()
-        )
-        m.wall_secs = time.time() - t0
-        return m
-
-    # --- ONE fused merge+write job materializes everything below; the
-    # driver's up-front needs (touched buckets, key cardinality for the
-    # broadcast decision) already came from the counting aggregate, and
-    # per-op counters ride Observations on the write job itself.
-    data = batch.where(is_data)
-
-    # target side: only touched buckets are read & rewritten (CoW)
-    target = table.read(buckets=None if full_rewrite else touched)
-    target = evolve_table(target, changes, dyn_final)
-    data_cols = [c for c in target.columns]  # final table column order
+    ]
+    ctl = Observation(f"ctl_b{batch_id}") if use_observations else None
+    slim_src = (batch.observe(ctl, *control_exprs) if ctl is not None else batch).where(
+        is_data
+    )
 
     # SLIM dedup: (key -> winning lsn + final op) from a column-pruned
     # scan — the ~60-byte rows are the ONLY thing the conflict-resolution
@@ -242,13 +291,40 @@ def apply_batch(
     # (lsn << 2 | op_code) so the aggregate buffer is a single LONG:
     # max_by over a string buffer would plan as SortAggregate (per-
     # partition sort of the WHOLE batch), while max(long) stays a
-    # HashAggregate with map-side partial combine. Cached: it feeds two
-    # broadcasts (winner-lsn semi-filter, target carry/drop join).
+    # HashAggregate with map-side partial combine. Two levels: the first
+    # groups by (key, packed) so duplicate deliveries (same lsn twice)
+    # collapse with an exact per-key count — this is how the engine gets
+    # an exact duplicate_deliveries metric WITHOUT a count_distinct
+    # shuffle over the whole batch. Cached: materialized here by the
+    # stats probe, then reused by the two broadcasts (winner-lsn
+    # semi-filter, target carry/drop join) and the post-write recompute.
     op_code = F.when(F.col("op") == "D", 2).when(F.col("op") == "U", 1).otherwise(0)
+    t_phase = time.time()
+    # policy aggregates ride the same slim HashAggregate as fixed-width
+    # buffers: a max(long) lsn-pointer per coalesce column (the value is
+    # fetched later by a narrow join on that pointer, so wide values
+    # never enter an aggregation buffer), min/max(ts) for track_seen
+    policy_aggs = []
+    sel_extra = []
+    for c in policies.coalesce_cols:
+        v = _event_value_expr(c)
+        sel_extra.append(
+            F.when(v.isNotNull() & (F.col("op") != "D"), F.col("lsn")).alias(f"_pc_{c}")
+        )
+        policy_aggs.append(F.max(f"_pc_{c}").alias(f"_pl_{c}"))
+    if policies.track_seen:
+        sel_extra.append(F.col("ts").alias("_ts"))
+        policy_aggs.append(F.min("_ts").alias("_fs"))
+        policy_aggs.append(F.max("_ts").alias("_ls"))
+    policy_out = [f"_pl_{c}" for c in policies.coalesce_cols] + (
+        ["_fs", "_ls"] if policies.track_seen else []
+    )
     slim = (
-        data.select(*KEY_COLS, (F.shiftleft(F.col("lsn"), 2) + op_code).alias("_p"))
+        slim_src.select(
+            *KEY_COLS, (F.shiftleft(F.col("lsn"), 2) + op_code).alias("_p"), *sel_extra
+        )
         .groupBy(*KEY_COLS)
-        .agg(F.max("_p").alias("_p"))
+        .agg(F.max("_p").alias("_p"), F.count("*").alias("_n"), *policy_aggs)
         .select(
             *KEY_COLS,
             F.shiftright(F.col("_p"), 2).alias("lsn"),
@@ -256,15 +332,111 @@ def apply_batch(
                 F.array(F.lit("I"), F.lit("U"), F.lit("D")),
                 (F.pmod(F.col("_p"), F.lit(4)) + 1).cast("int"),
             ).alias("op"),
+            "_n",
+            *policy_out,
         )
         .persist()
     )
+
+    # touched buckets + key cardinality from a stats probe ON the cached
+    # slim (tiny: |keys| rows; the action that materializes the cache and
+    # fills the observation)
+    slim_stats = slim.agg(
+        F.count("*").alias("n_keys"),
+        F.collect_set(bucket_expr(table.n_buckets)).alias("touched"),
+        F.sum("_n").alias("n_rows"),
+    ).collect()[0]
+    m.phase_secs["slim_build"] = round(time.time() - t_phase, 3)
+    counts = None
+    if ctl is not None:
+        # On a plan Catalyst collapsed to a LocalRelation (tiny
+        # createDataFrame batches in tests / control-only batches) the
+        # CollectMetrics node is elided and the observation yields an
+        # empty row that cannot cross py4j — fall back to the explicit
+        # aggregate. The parquet-backed hot path always reports.
+        try:
+            counts = ctl.get or None
+        except Exception:
+            counts = None
+    if counts is None:
+        # streaming front-end (CollectMetrics does not report reliably
+        # under a foreachBatch sub-execution) or elided-observation
+        # fallback: a narrow (lsn, op, schema_change) scan
+        counts = batch.agg(*control_exprs).collect()[0]
+    # unobserved lineage for later actions (re-running a CollectMetrics
+    # plan in another action would double-report the observation)
+    data = batch.where(is_data)
+
+    m.events_seen = counts["seen"] or 0
+    m.late_events = counts["late"] or 0
+    m.data_events = counts["n_data"] or 0
+    m.schema_events = (counts["n_live"] or 0) - m.data_events
+    # data-event re-deliveries (same lsn twice): exact, from a NARROW
+    # (lsn, op) distinct count — longs only, never the key strings, so it
+    # costs ~1/10 of the old full counting aggregate. The result gates
+    # the write job's dedup: a proved-duplicate-free batch skips the
+    # full-content dedup shuffle. Schema-event re-deliveries are folded
+    # idempotently by extract_schema_changes and not counted here.
+    t_phase = time.time()
+    n_data_rows = int(slim_stats["n_rows"] or 0)
+    if n_data_rows:
+        n_distinct = int(
+            data.agg(F.count_distinct("lsn").alias("d")).collect()[0]["d"] or 0
+        )
+    else:
+        n_distinct = 0
+    m.duplicate_deliveries = n_data_rows - n_distinct
+    m.phase_secs["dup_check"] = round(time.time() - t_phase, 3)
+
+    # --- schema evolution (fold the collected control events, lsn order,
+    # idempotent under duplicate deliveries)
+    schema_rows = [
+        {
+            "lsn": d["lsn"],
+            "schema_change": {
+                k: d.get("schema_change", {}).get(k)
+                for k in ("kind", "column", "new_name", "new_type")
+            },
+        }
+        for d in (json.loads(sr) for sr in (counts["schema_rows"] or []))
+    ]
+    changes: list[SchemaChange] = extract_schema_changes(schema_rows)
+    dyn_prev = table.dyn_schema()
+    dyn_final = apply_to_dyn_schema(dyn_prev, changes)
+    if policies.track_seen:
+        have = {n for n, _ in dyn_final}
+        dyn_final = dyn_final + [c for c in SEEN_COLS if c[0] not in have]
+    full_rewrite = requires_rewrite(changes)
+    m.full_rewrite = full_rewrite
+    manifest_prev = table.manifest()
+
+    n_keys = slim_stats["n_keys"] or 0
+    touched = sorted(int(b) for b in (slim_stats["touched"] or []))
+    if full_rewrite:
+        committed = [int(b) for b in manifest_prev["files"]]
+        touched = sorted(set(touched) | set(committed))
+
+    if not touched and not full_rewrite:
+        # schema-only (add) or fully-late batch: metadata-only commit
+        slim.unpersist()
+        table.commit(
+            table.version() + 1, None, [], max(ckpt, lsn_to), dyn_final, m.to_dict()
+        )
+        m.wall_secs = time.time() - t0
+        return m
+
+    # target side: only touched buckets are read & rewritten (CoW)
+    target = table.read(buckets=None if full_rewrite else touched)
+    target = evolve_table(target, changes, dyn_final)
+
     do_broadcast = n_keys <= BROADCAST_MAX_ROWS
+    dup_free = m.duplicate_deliveries == 0
     try:
         return _merge_and_commit(
             spark, table, m, slim, data, target, changes, dyn_final, touched,
             full_rewrite, manifest_prev, do_broadcast, n_keys, ckpt, lsn_to,
-            batch_id, salted_dedup, use_arrow_udfs, use_observations, t0,
+            batch_id, salted_dedup, use_arrow_udfs, use_observations, dup_free,
+            policies, t0,
         )
     finally:
         slim.unpersist()
@@ -273,7 +445,8 @@ def apply_batch(
 def _merge_and_commit(
     spark, table, m, slim, data, target, changes, dyn_final, touched,
     full_rewrite, manifest_prev, do_broadcast, n_keys, ckpt, lsn_to,
-    batch_id, salted_dedup, use_arrow_udfs, use_observations, t0,
+    batch_id, salted_dedup, use_arrow_udfs, use_observations, dup_free,
+    policies, t0,
 ):
     bcol = bucket_expr(table.n_buckets)
     data_cols = [c for c in target.columns]
@@ -319,10 +492,26 @@ def _merge_and_commit(
     if do_broadcast:
         winner_ids = F.broadcast(winner_ids)
     upd_src = remap_extra_keys(data.join(winner_ids, "lsn", "semi"), changes)
-    winners = dedup_last_writer(upd_src, KEY_COLS, "lsn", salted=salted_dedup)
-    upd = _project_updates(winners, dyn_final, use_arrow_udfs=use_arrow_udfs).withColumn(
-        "_bucket", bcol
+    # lsn is unique per key in slim, so after the semi-filter the only
+    # possible multiplicity is a duplicate delivery of the winner lsn
+    # itself. When the slim pre-aggregate proved the batch duplicate-free
+    # (the overwhelmingly common case), the dedup groupBy — a FULL
+    # shuffle + aggregate of the ~2KB winner content — is skipped
+    # entirely; content then crosses the wire exactly once (the _bucket
+    # repartition before the write).
+    winners = (
+        upd_src
+        if dup_free
+        else dedup_last_writer(upd_src, KEY_COLS, "lsn", salted=salted_dedup)
     )
+    overrides: dict = {}
+    if policies.active:
+        winners, overrides = _apply_policies(
+            winners, slim, data, target, policies, do_broadcast
+        )
+    upd = _project_updates(
+        winners, dyn_final, use_arrow_udfs=use_arrow_udfs, overrides=overrides
+    ).withColumn("_bucket", bcol)
     win_obs = (
         Observation(f"ops_b{batch_id}")
         if (m.data_events and use_observations)
@@ -358,7 +547,10 @@ def _merge_and_commit(
 
     version = table.version() + 1
     out_dir = table.new_data_dir(version)
+    t_phase = time.time()
     final.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+    m.phase_secs["merge_write"] = round(time.time() - t_phase, 3)
+    t_phase = time.time()
 
     if win_obs is not None:
         ops = win_obs.get
@@ -399,12 +591,16 @@ def _merge_and_commit(
     m.delete_noop = n_d - m.deleted
     m.rows_out = int(tgt.get("carried") or 0) + n_iu
     m.buckets_touched = len(touched)
+    m.phase_secs["post_metrics"] = round(time.time() - t_phase, 3)
 
     # per-partition lineage from the freshly written CoW files' parquet
     # footers (row counts + _last_lsn column stats) — pure metadata reads
     # on the driver, no extra Spark job. This is the same stats harvest an
     # Iceberg manifest commit performs, scoped to the touched buckets.
+    t_phase = time.time()
     m.lineage = _lineage_from_footers(out_dir, version)
+    m.phase_secs["lineage"] = round(time.time() - t_phase, 3)
+    t_phase = time.time()
 
     table.commit(
         version,
@@ -415,5 +611,6 @@ def _merge_and_commit(
         m.to_dict(),
         full_rewrite=full_rewrite,
     )
+    m.phase_secs["commit"] = round(time.time() - t_phase, 3)
     m.wall_secs = time.time() - t0
     return m

@@ -39,6 +39,7 @@ class BatchMetrics:
     full_rewrite: bool = False
     rows_out: int = 0                  # rows written this commit (touched buckets)
     wall_secs: float = 0.0
+    phase_secs: dict = field(default_factory=dict)  # phase -> seconds (perf diag)
     lineage: dict = field(default_factory=dict)  # bucket -> {rows, dir}
 
     def to_dict(self) -> dict:

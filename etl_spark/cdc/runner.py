@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from .lake import SnapshotTable
 from .merge import apply_batch
 from .metrics import BatchMetrics
+from .policies import NO_POLICIES, MergePolicies
 from .schema import EVENT_SCHEMA
 
 
@@ -44,6 +45,7 @@ def replay(
     salted_dedup: bool = False,
     use_arrow_udfs: bool = False,
     log: bool = False,
+    policies: MergePolicies = NO_POLICIES,
 ) -> list[BatchMetrics]:
     """Replay the whole log (or the next ``max_batches``) into the table."""
     bounds = events.agg(
@@ -65,6 +67,7 @@ def replay(
         bm = apply_batch(
             spark, table, batch, batch_id, lsn_from, lsn_to,
             salted_dedup=salted_dedup, use_arrow_udfs=use_arrow_udfs,
+            policies=policies,
         )
         out.append(bm)
         if log:

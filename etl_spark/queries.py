@@ -58,45 +58,136 @@ def q_cdc_merge_upsert(spark, sf_dir) -> DataFrame:
     )
 
 
-def q_cdc_replay_snapshot(spark, sf_dir) -> DataFrame:
-    """Flagship: the FULL engine (dedup -> CoW MERGE -> snapshot commit)
-    replaying `events` mapped to a repo CDC log; returns the materialized
-    table. Oracle: last-writer-wins SQL over the same mapping."""
-    import tempfile
+def _events_as_cdc_log(spark, sf_dir, deletes: bool = True,
+                       content_expr=None) -> DataFrame:
+    """Map the driver's `events` table onto the engine's CDC log schema.
 
-    _prep(spark)
-    from .cdc.lake import SnapshotTable
-    from .cdc.runner import replay
+    Default mapping (shared with the oracles): error -> D, signup -> I,
+    else U; content = props except for deletes. ``deletes=False`` maps
+    everything to I/U (op-only change); ``content_expr`` overrides the
+    content column (e.g. NULLs for partial-update semantics)."""
     from .cdc.schema import EVENT_SCHEMA
 
     ev = table(spark, sf_dir, "events")
-    log = ev.select(
-        F.col("event_id").alias("lsn"),
-        F.when(F.col("event_type") == "error", "D")
-        .when(F.col("event_type") == "signup", "I")
-        .otherwise("U")
-        .alias("op"),
+    if deletes:
+        op = (
+            F.when(F.col("event_type") == "error", "D")
+            .when(F.col("event_type") == "signup", "I")
+            .otherwise("U")
+        )
+        content = F.when(F.col("event_type") != "error", F.col("props"))
+    else:
+        op = F.when(F.col("event_type") == "signup", "I").otherwise("U")
+        content = F.col("props")
+    if content_expr is not None:
+        content = content_expr
+    # lsn = event_id + 1: WAL LSNs are positive (the engine's initial
+    # checkpoint is 0 and "live" means lsn > ckpt), while the driver's
+    # event_id starts at 0 — an unshifted event 0 would drop as late
+    return ev.select(
+        (F.col("event_id") + 1).alias("lsn"),
+        op.alias("op"),
         F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias("repo"),
         F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
         F.md5(F.col("event_id").cast("string")).alias("commit"),
         F.lit("Python").alias("lang"),
-        F.when(F.col("event_type") != "error", F.col("props")).alias("content"),
+        content.alias("content"),
         F.col("ts"),
         F.lit(None).cast("map<string,string>").alias("extra"),
         F.lit(None).cast(EVENT_SCHEMA["schema_change"].dataType).alias("schema_change"),
     )
-    # Session-scoped table dir: outlives this call so the returned scan
-    # stays LAZY (no driver-side collect — at 100x the snapshot would OOM
-    # the driver). Cleaned up at interpreter exit.
+
+
+def _session_table(spark, n_buckets: int = 8):
+    """A SnapshotTable in a session-scoped dir: outlives the query call so
+    returned scans stay LAZY (no driver-side collect — at 100x collecting
+    the snapshot would OOM the driver); removed at interpreter exit."""
     import atexit
+    import tempfile
+
+    from .cdc.lake import SnapshotTable
 
     root = tempfile.mkdtemp(prefix="etl_spark_replay_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    t = SnapshotTable(spark, root, n_buckets=8)
-    replay(spark, log, t, batch_size=4000)
+    return SnapshotTable(spark, root, n_buckets=n_buckets)
+
+
+def q_cdc_replay_snapshot(spark, sf_dir) -> DataFrame:
+    """Flagship: the FULL engine (dedup -> CoW MERGE -> snapshot commit)
+    replaying `events` mapped to a repo CDC log; returns the materialized
+    table. Oracle: last-writer-wins SQL over the same mapping."""
+    _prep(spark)
+    from .cdc.runner import replay
+
+    t = _session_table(spark)
+    replay(spark, _events_as_cdc_log(spark, sf_dir), t, batch_size=4000)
     return t.read().select(
         "repo", "path", "commit", "content", "content_sha256",
-        F.col("_last_lsn").alias("last_lsn"),
+        (F.col("_last_lsn") - 1).alias("last_lsn"),
+    )
+
+
+def q_predicate_delete(spark, sf_dir) -> DataFrame:
+    """K7: DELETE WHERE <pred> as a bucket-scoped CoW rewrite (reference:
+    es_deleting_old_writes/main.py:25-57 delete-by-query retention).
+    Replays the log, then deletes every row with _last_lsn <= 5000."""
+    _prep(spark)
+    from .cdc.delete import delete_where
+    from .cdc.runner import replay
+
+    t = _session_table(spark)
+    replay(spark, _events_as_cdc_log(spark, sf_dir), t, batch_size=4000)
+    delete_where(spark, t, F.col("_last_lsn") - 1 <= 5000)
+    return t.read().select(
+        "repo", "path", "commit", "content_sha256",
+        (F.col("_last_lsn") - 1).alias("last_lsn"),
+    )
+
+
+def q_touch_first_last_seen(spark, sf_dir) -> DataFrame:
+    """K3 touch-columns: first_seen/last_seen maintained across merges by
+    min/max policy (reference: hive_to_dwh/load.py:25-26 'update only
+    last_seen when the key exists'). Delete-free mapping so the min/max
+    window is batch-boundary invariant (policies.py determinism note)."""
+    _prep(spark)
+    from .cdc.policies import MergePolicies
+    from .cdc.runner import replay
+
+    t = _session_table(spark)
+    replay(
+        spark,
+        _events_as_cdc_log(spark, sf_dir, deletes=False),
+        t,
+        batch_size=4000,
+        policies=MergePolicies(track_seen=True),
+    )
+    return t.read().select(
+        "repo", "path", "commit", "first_seen", "last_seen",
+        (F.col("_last_lsn") - 1).alias("last_lsn"),
+    )
+
+
+def q_coalesce_content_merge(spark, sf_dir) -> DataFrame:
+    """K3 column-subset update: partial-update events carry NULL content
+    ('view' events here — the unchanged-TOAST-datum shape of postgres
+    logical replication); the coalesce policy keeps the last non-null
+    value while the row's commit/_last_lsn still advance."""
+    _prep(spark)
+    from .cdc.policies import MergePolicies
+    from .cdc.runner import replay
+
+    t = _session_table(spark)
+    log = _events_as_cdc_log(
+        spark, sf_dir, deletes=False,
+        content_expr=F.when(F.col("event_type") != "view", F.col("props")),
+    )
+    replay(
+        spark, log, t, batch_size=4000,
+        policies=MergePolicies(coalesce_cols=("content",)),
+    )
+    return t.read().select(
+        "repo", "path", "commit", "content", "content_sha256",
+        (F.col("_last_lsn") - 1).alias("last_lsn"),
     )
 
 
@@ -309,6 +400,78 @@ def q_windowed_derivative(spark, sf_dir) -> DataFrame:
     )
 
 
+CIDR_NETWORKS = [
+    "10.0.0.0/8", "10.3.0.0/16", "10.3.9.0/24",
+    "10.100.0.0/14", "10.5.0.0/22", "11.0.0.0/8",
+]
+
+
+def q_cidr_longest_match(spark, sf_dir) -> DataFrame:
+    """J8: CIDR containment / longest-prefix-match join (reference:
+    geoinfo/main.py:372-412 radix-tree search_covering, re-expressed as
+    a prefix-length fan-out equi-join — see operators/cidr.py)."""
+    from .operators.cidr import cidr_longest_match
+
+    _prep(spark)
+    ev = table(spark, sf_dir, "events")
+    probes = ev.select(
+        "event_id",
+        F.concat_ws(
+            ".",
+            F.lit(10),
+            (F.col("user_id") % 8).cast("int"),
+            ((F.col("user_id") * 7) % 250).cast("int"),
+            (F.col("event_id") % 250).cast("int"),
+        ).alias("ip"),
+    )
+    nets = spark.createDataFrame([(c,) for c in CIDR_NETWORKS], "cidr string")
+    m = cidr_longest_match(probes, nets, ip_col="ip", cidr_col="cidr")
+    return m.groupBy("cidr").agg(F.count("*").alias("n_rows"))
+
+
+def q_csv_roundtrip(spark, sf_dir) -> DataFrame:
+    """K8+S11: single-file CSV write + schema'd CSV read-back, then an
+    aggregate over the re-read data (reference: geoinfo/main.py:259-267
+    single_file=True export; dask usecols read main.py:243-255). The
+    round trip is part of the query so the oracle checks BOTH directions
+    of the codec."""
+    import atexit
+    import tempfile
+
+    from .sources.readers import read_csv, write_csv_single
+
+    _prep(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = tempfile.mkdtemp(prefix="etl_spark_csv_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    write_csv_single(docs, out)
+    back = read_csv(spark, out, schema="doc_id bigint, lang string, n_chars bigint")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def q_scalar_conversions(spark, sf_dir) -> DataFrame:
+    """F4/F5/F7/F8 scalar conversion surface, all JVM expressions:
+    - epoch-millis -> timestamp (thehive insert main_insert.py:111-112)
+    - date_format / tz-stable formatting (to_char analogs)
+    - '' -> NULL normalization (geoinfo/main.py:444-448)
+    - fillna + cast (geoinfo/main.py:285-286)."""
+    _prep(spark)
+    ev = table(spark, sf_dir, "events")
+    millis = (F.unix_timestamp("ts") * 1000 + F.floor(F.col("value") * 100) % 1000)
+    props_norm = F.when(F.col("props") != "", F.col("props"))  # '' -> NULL
+    return ev.where(F.col("event_id") < 2000).select(
+        "event_id",
+        F.timestamp_millis(millis.cast("long")).alias("ts_ms"),
+        F.date_format("ts", "yyyy-MM-dd HH:00").alias("hour_str"),
+        props_norm.alias("props_norm"),
+        F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(12,2)").alias("value_filled"),
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data operators
 # --------------------------------------------------------------------------
@@ -414,6 +577,12 @@ QUERIES = {
     "window_dedup": q_window_dedup,
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "cdc_replay_snapshot": q_cdc_replay_snapshot,
+    "predicate_delete": q_predicate_delete,
+    "touch_first_last_seen": q_touch_first_last_seen,
+    "coalesce_content_merge": q_coalesce_content_merge,
+    "cidr_longest_match": q_cidr_longest_match,
+    "csv_roundtrip": q_csv_roundtrip,
+    "scalar_conversions": q_scalar_conversions,
     "group_max": q_group_max,
     "union_distinct": q_union_distinct,
     "insert_if_absent": q_insert_if_absent,

@@ -57,6 +57,11 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # Ad-hoc conf overrides without touching call sites (bench/scaling
+    # experiments): ETL_SPARK_CONF="k=v,k2=v2".
+    for kv in filter(None, os.environ.get("ETL_SPARK_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -46,6 +46,16 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return r.csv(path)
 
 
+def write_csv_single(df: DataFrame, path: str) -> None:
+    """K8: single-file CSV export (reference: geoinfo/main.py:259-267
+    ``to_csv(single_file=True)``). ``coalesce(1)`` funnels the plan into
+    one task — correct ONLY for small exports (reports, dimension dumps);
+    a large extract should drop the coalesce and write per-partition
+    files. The coalesce is applied at the WRITE, so upstream stages keep
+    their full parallelism."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
 def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     r = spark.read
     if schema is not None:

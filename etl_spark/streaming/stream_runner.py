@@ -31,12 +31,24 @@ straddling the checkpoint has its stale prefix dropped row-wise.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..cdc.lake import SnapshotTable
 from ..cdc.merge import apply_batch
 from ..cdc.metrics import BatchMetrics
 from ..cdc.schema import EVENT_SCHEMA
+
+
+class OutOfOrderDeliveryError(RuntimeError):
+    """A NEW micro-batch arrived entirely below the committed LSN.
+
+    The file source's oldest-mtime-first ordering broke (copied/backfilled
+    files, mtime ties): silently dropping the batch as 'late' would LOSE
+    its data, so the stream fails loudly instead. Legitimate redelivery
+    after a crash (same epoch id re-run by Structured Streaming) is NOT
+    an error and is absorbed idempotently."""
 
 
 def stream_replay(
@@ -65,6 +77,21 @@ def stream_replay(
     )
     stream = reader.parquet(events_dir)
 
+    # last epoch whose batch was APPLIED, persisted next to Spark's own
+    # offset log: distinguishes crash-redelivery (same epoch re-runs -> a
+    # fully-late batch is the expected idempotent no-op) from genuine
+    # out-of-order delivery (a NEW epoch entirely below the checkpoint ->
+    # data loss if silently dropped) — ADVICE round 1.
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    epoch_path = os.path.join(checkpoint_dir, "_applied_epoch")
+
+    def _last_applied_epoch() -> int:
+        try:
+            with open(epoch_path) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         # the micro-batch is whatever files arrived; its LSN range is
         # discovered, not assumed — apply_batch's checkpoint logic does
@@ -74,6 +101,13 @@ def stream_replay(
         ).collect()[0]
         if bounds["hi"] is None:
             return
+        if int(bounds["hi"]) <= table.last_lsn() and epoch_id > _last_applied_epoch():
+            raise OutOfOrderDeliveryError(
+                f"epoch {epoch_id}: new batch lsn range "
+                f"[{bounds['lo']}, {bounds['hi']}] is entirely at or below "
+                f"the committed checkpoint {table.last_lsn()} — the source "
+                "delivered files out of LSN order"
+            )
         bm = apply_batch(
             spark,
             table,
@@ -88,6 +122,8 @@ def stream_replay(
             # slim winners + a pruned target scan instead (merge.py)
             use_observations=False,
         )
+        with open(epoch_path, "w") as f:
+            f.write(str(epoch_id))
         if collected_metrics is not None:
             collected_metrics.append(bm)
 

@@ -103,3 +103,40 @@ def test_expire_snapshots_keeps_live_data(spark, tmp_path):
     # every dir referenced by the live manifest survived
     for rel in table.manifest()["files"].values():
         assert rel.split("/")[1] in remaining
+
+
+def test_out_of_order_delivery_fails_loudly(spark, tmp_path):
+    """A NEW batch entirely below the checkpoint (source delivered files
+    out of LSN order — backfilled/copied files, mtime ties) must raise,
+    not silently drop; crash-redelivery of the same epoch stays a no-op
+    (covered by the restart test above)."""
+    import pyspark.sql.functions as F
+
+    from etl_spark.cdc.gen import GenConfig, generate_events
+
+    log_dir = str(tmp_path / "log")
+    df = generate_events(spark, GenConfig(n_events=2000, n_keys=80, seed=21))
+    # write the SECOND half first with an older mtime, so the file source
+    # delivers high LSNs in trigger 1 and low LSNs in trigger 2
+    (df.where(F.col("lsn") > 1000).coalesce(1)
+       .write.mode("append").parquet(log_dir))
+    hi_part = [p for p in os.listdir(log_dir) if p.startswith("part-")]
+    (df.where(F.col("lsn") <= 1000).coalesce(1)
+       .write.mode("append").parquet(log_dir))
+    for p in os.listdir(log_dir):
+        if p.startswith("part-"):
+            t = 1_700_000_000 if p in hi_part else 1_700_000_100
+            os.utime(os.path.join(log_dir, p), (t, t))
+
+    table = SnapshotTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    q = stream_replay(
+        spark, log_dir, table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    try:
+        q.awaitTermination(120)
+        raised = False
+    except Exception as e:  # StreamingQueryException wraps the sink error
+        raised = "OutOfOrderDeliveryError" in str(e) or "out of LSN order" in str(e)
+    assert raised, "out-of-order batch must fail the stream, not drop data"
