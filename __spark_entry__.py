@@ -181,7 +181,7 @@ def oracle_sql() -> dict[str, str]:
                        AS ts_ms,
                    strftime(ts, '%Y-%m-%d %H:00') AS hour_str,
                    CASE WHEN props <> '' THEN props END AS props_norm,
-                   CAST(coalesce(value, 0.0) AS DECIMAL(12,2)) AS value_filled
+                   CAST(coalesce(value, 0.0) AS DOUBLE) AS value_filled
             FROM events WHERE event_id < 2000
         """,
         "group_max": """

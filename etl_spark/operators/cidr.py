@@ -52,6 +52,20 @@ def parse_cidr(df: DataFrame, cidr_col: str = "cidr") -> DataFrame:
     ).drop("_net_long")
 
 
+def long_to_cidr(prefix_col: str, plen_col: str):
+    """(prefix bits, plen) column NAMES -> canonical 'a.b.c.d/len' string.
+    SQL-expr form because shiftleft with a COLUMN bit count has no
+    Column-API overload."""
+    addr = f"(CASE WHEN {plen_col} > 0 THEN shiftleft({prefix_col}, 32 - {plen_col}) ELSE 0 END)"
+    return F.expr(
+        "concat("
+        f"CAST(shiftright({addr}, 24) & 255 AS STRING), '.',"
+        f"CAST(shiftright({addr}, 16) & 255 AS STRING), '.',"
+        f"CAST(shiftright({addr}, 8) & 255 AS STRING), '.',"
+        f"CAST({addr} & 255 AS STRING), '/', CAST({plen_col} AS STRING))"
+    )
+
+
 def cidr_longest_match(
     ips: DataFrame,
     networks: DataFrame,
@@ -62,9 +76,18 @@ def cidr_longest_match(
     (rows with no covering network are dropped — inner-join semantics,
     matching the reference's search_covering hit path).
 
-    Returns the input columns + (cidr, plen).
+    Returns the input columns + (cidr, plen); the cidr is CANONICAL
+    (network address truncated to its prefix length), so duplicate
+    spellings of the same network collapse. Every aggregate is a
+    HashAggregate over fixed-width buffers — no string aggregation, no
+    SortAggregate, no per-probe dedup (networks are deduped once, on the
+    tiny dimension side).
     """
-    nets = parse_cidr(networks, cidr_col).select(cidr_col, "plen", "net_prefix")
+    nets = (
+        parse_cidr(networks, cidr_col)
+        .select("plen", "net_prefix")
+        .dropDuplicates(["plen", "net_prefix"])
+    )
     plens = nets.select("plen").distinct()
 
     probe = ips.withColumn("_ip_long", ip_to_long(F.col(ip_col)))
@@ -80,12 +103,11 @@ def cidr_longest_match(
             ["plen", "_pfx"],
         )
     )
-    # longest match per probe ip value: packed HashAggregate, then
-    # equi-join back on (ip, plen); plen ties -> min(cidr) deterministic
+    # longest match per probe ip value: max(plen) HashAggregate, then
+    # equi-join back on (ip, plen) — exactly one deduped network exists
+    # per (plen, prefix), so no further tie-breaking is needed
     best = cand.groupBy(ip_col).agg(F.max("plen").alias("plen"))
     return (
         cand.join(best, [ip_col, "plen"])
-        .groupBy(*[c for c in ips.columns], "plen")
-        .agg(F.min(cidr_col).alias(cidr_col))
-        .drop("_ip_long")
+        .select(*ips.columns, "plen", long_to_cidr("_pfx", "plen").alias(cidr_col))
     )

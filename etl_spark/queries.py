@@ -468,7 +468,11 @@ def q_scalar_conversions(spark, sf_dir) -> DataFrame:
         F.timestamp_millis(millis.cast("long")).alias("ts_ms"),
         F.date_format("ts", "yyyy-MM-dd HH:00").alias("hour_str"),
         props_norm.alias("props_norm"),
-        F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(12,2)").alias("value_filled"),
+        # fillna + cast; DOUBLE (not decimal) so the oracle compare is
+        # bit-exact — decimal stringifies as '5.50' in Spark vs '5.5' in
+        # DuckDB-pandas, the same type-artifact class as round 1's
+        # late_filter HUGEINT miss
+        F.coalesce(F.col("value"), F.lit(0.0)).cast("double").alias("value_filled"),
     )
 
 
@@ -556,6 +560,15 @@ def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
     return similarity.lsh_topk(emb, probes, k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF-Flat ANN (posting-list routing; recall vs brute force tested
+    in tests/test_operators.py — rows-only oracle here)."""
+    _prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, probes, k=5, n_centroids=32, nprobe=6)
+
+
 def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     _prep(spark)
     emb = table(spark, sf_dir, "embeddings")
@@ -608,6 +621,7 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_features": q_multimodal_features,
 }

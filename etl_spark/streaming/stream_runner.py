@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..cdc.lake import SnapshotTable
 from ..cdc.merge import apply_batch
 from ..cdc.metrics import BatchMetrics
+from ..cdc.policies import NO_POLICIES
 from ..cdc.schema import EVENT_SCHEMA
 
 
@@ -61,6 +62,7 @@ def stream_replay(
     salted_dedup: bool = False,
     use_arrow_udfs: bool = False,
     collected_metrics: list[BatchMetrics] | None = None,
+    policies=None,
 ):
     """Tail ``events_dir`` as a file stream and MERGE each micro-batch.
 
@@ -117,6 +119,7 @@ def stream_replay(
             int(bounds["hi"]),
             salted_dedup=salted_dedup,
             use_arrow_udfs=use_arrow_udfs,
+            policies=policies if policies is not None else NO_POLICIES,
             # CollectMetrics under a Union never reports inside a
             # foreachBatch sub-execution; metrics are recomputed from the
             # slim winners + a pruned target scan instead (merge.py)

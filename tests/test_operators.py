@@ -248,3 +248,48 @@ def test_frame_sample_offsets(spark):
     for r in rows:
         want = hashlib.sha256(payload[r["offset"]: r["offset"] + 1024]).hexdigest()
         assert r["chunk_sha256"] == want
+
+
+# --------------------------------------------------------------------------
+# CIDR longest-prefix join
+# --------------------------------------------------------------------------
+
+def test_cidr_longest_match_semantics(spark):
+    from etl_spark.operators.cidr import cidr_longest_match
+
+    ips = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "10.1.200.9"), (3, "192.168.1.1"), (4, "10.1.2.255")],
+        "id long, ip string",
+    )
+    nets = spark.createDataFrame(
+        [("10.0.0.0/8",), ("10.1.0.0/16",), ("10.1.2.0/24",), ("0.0.0.0/0",)],
+        "cidr string",
+    )
+    got = {r["id"]: (r["cidr"], r["plen"]) for r in cidr_longest_match(ips, nets).collect()}
+    assert got[1] == ("10.1.2.0/24", 24), "deepest covering prefix wins"
+    assert got[2] == ("10.1.0.0/16", 16)
+    assert got[3] == ("0.0.0.0/0", 0), "default route catches everything"
+    assert got[4] == ("10.1.2.0/24", 24)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 20)
+    k = 10
+    exact = similarity.brute_force_topk(emb, probes, k=k).collect()
+    approx = similarity.ivf_topk(emb, probes, k=k, n_centroids=32, nprobe=8).collect()
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    got: dict = {}
+    for r in approx:
+        got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    recalls = [len(truth[p] & got.get(p, set())) / len(truth[p]) for p in truth]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"IVF recall@{k} too low: {mean_recall:.2f}"
+    # scores must be true cosines (subset correctness)
+    exact_cos = {(r["probe_id"], r["neighbor_id"]): r["cos"] for r in exact}
+    for r in approx:
+        key = (r["probe_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cos"] - exact_cos[key]) < 1e-9

@@ -144,3 +144,13 @@ def test_counting_aggregate_prunes_content(spark, tmp_path):
         F.collect_list(F.when(live & (F.col("op") == "S"), F.struct("lsn", "schema_change"))),
     )
     assert "content" not in read_schema_columns(agg)
+
+
+def test_cidr_join_is_broadcast_equi_join(spark):
+    """J8 must plan as a broadcast EQUI-join on (plen, prefix) — never a
+    BroadcastNestedLoopJoin against the networks table (the O(n*m) theta
+    join the radix-tree reference avoids); the <=33-row plen fan-out is
+    the only NLJ allowed."""
+    plan = formatted_plan(QUERIES["cidr_longest_match"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
