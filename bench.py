@@ -378,8 +378,187 @@ def _scaling_verdict_prose(res: dict) -> str:
     return "\n".join(lines)
 
 
+# --------------------------------------------------------------------------
+# scaling-exec mode: true multi-executor standalone cluster, N vs 4N
+# executors (the north rule's literal two-cluster-size criterion, modeled
+# on one box with every worker JVM pinned to its own disjoint cores)
+# --------------------------------------------------------------------------
+
+_CLUSTER_SH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tools", "standalone_cluster.sh")
+_SUBMIT_SH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "submit_replay.sh")
+
+
+def _cluster(action: str, *args: str, run_dir: str) -> None:
+    out = subprocess.run(
+        ["bash", _CLUSTER_SH, action, *args],
+        env=dict(os.environ, SPARK_STANDALONE_DIR=run_dir),
+        capture_output=True, text=True,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"cluster {action} failed:\n{out.stderr[-1500:]}")
+
+
+def _run_replay_standalone(log_dir: str, table_dir: str, n_workers: int,
+                           cores: int, batch_size: int, run_dir: str) -> dict:
+    """Submit the replay to a pinned standalone cluster of ``n_workers``
+    executors x ``cores`` cores. The driver JVM is pinned to its own
+    high cores (disjoint from every worker) so driver work contends
+    identically at every cluster size."""
+    total = n_workers * cores
+    env = dict(
+        os.environ,
+        SPARK_SUBMIT_ARGS=(
+            f"--master spark://127.0.0.1:7077 --deploy-mode client "
+            f"--driver-memory 6g --executor-cores {cores} "
+            f"--executor-memory 4g --conf spark.cores.max={total} "
+            f"--conf spark.sql.shuffle.partitions={4 * total} "
+            f"--conf spark.memory.offHeap.enabled=true "
+            f"--conf spark.memory.offHeap.size=2g"
+        ),
+        SPARK_LOCAL_DIRS=os.path.join(run_dir, "submit_local"),
+    )
+    ncpu = os.cpu_count() or 32
+    pin = (["taskset", "-c", f"{ncpu - 4}-{ncpu - 1}"]
+           if shutil.which("taskset") else [])
+    cmd = pin + ["bash", _SUBMIT_SH,
+                 "--events", log_dir, "--table", table_dir,
+                 "--batch-size", str(batch_size),
+                 "--n-buckets", "64",
+                 "--master", "spark://127.0.0.1:7077",
+                 "--warmup"]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"standalone replay {n_workers}x{cores} failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_scaling_exec(n_events: int, repeats: int = 3,
+                     pairs=((1, 4),), cores_per_worker: int = 2) -> dict:
+    """North-rule literal form: the SAME spark-submit --py-files job at
+    N executors and 4N executors (separate pinned worker JVMs), medians
+    of interleaved repeats, determinism hash across cluster sizes."""
+    from etl_spark.cdc.gen import GenConfig, write_events
+    from etl_spark.session import get_spark
+
+    work = tempfile.mkdtemp(prefix="bench_exec_", dir=_workroot())
+    run_dir = os.path.join(work, "cluster")
+    spark = get_spark("bench-exec-gen", master=f"local[{CPUS}]")
+    levels = sorted({n for p in pairs for n in p})
+    eps: dict[int, list[float]] = {n: [] for n in levels}
+    hashes: dict[int, str] = {}
+    try:
+        log_dir = os.path.join(work, "log")
+        write_events(
+            spark,
+            GenConfig(n_events=n_events, n_keys=n_events // 8, n_repos=200,
+                      hot_frac=0.3, hot_keys=n_events // 64),
+            log_dir,
+            n_files=64,
+        )
+        for r in range(repeats):
+            for n in levels:  # interleaved across cluster sizes
+                _cluster("start", str(n), str(cores_per_worker), run_dir=run_dir)
+                try:
+                    tdir = os.path.join(work, f"table_{n}_{r}")
+                    res = _run_replay_standalone(
+                        log_dir, tdir, n, cores_per_worker,
+                        batch_size=max(n_events // 2, 1), run_dir=run_dir)
+                    eps[n].append(res["events_per_sec"])
+                    if r == repeats - 1:
+                        hashes[n] = _table_state_hash(spark, tdir)
+                finally:
+                    _cluster("stop", run_dir=run_dir)
+        med = {n: sorted(v)[len(v) // 2] for n, v in eps.items()}
+        out_pairs = [
+            {
+                "small_execs": a, "big_execs": b,
+                "cores_per_worker": cores_per_worker,
+                "small_eps": med[a], "big_eps": med[b],
+                "efficiency": round(med[b] / ((b / a) * med[a]), 3),
+            }
+            for a, b in pairs
+        ]
+        result = {
+            "n_events": n_events,
+            "repeats": repeats,
+            "cores_per_worker": cores_per_worker,
+            "eps_runs": eps,
+            "median_eps": med,
+            "pairs": out_pairs,
+            "state_match": len(set(hashes.values())) == 1,
+            "state_hashes": hashes,
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/standalone.json", "w") as f:
+            json.dump(result, f, indent=1)
+        return result
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _standalone_md_section() -> str:
+    """Render the multi-executor section from measured BENCH/standalone.json
+    (written by --scaling-exec); omit rather than hardcode when absent."""
+    try:
+        with open("BENCH/standalone.json") as f:
+            r = json.load(f)
+    except (OSError, ValueError):
+        return (
+            "## Secondary evidence: true multi-executor topology\n\n"
+            "Run `python bench.py --scaling-exec` to measure the same job "
+            "at N and 4N pinned executor JVMs via spark-submit "
+            "(`tools/standalone_cluster.sh` + `tools/submit_replay.sh`)."
+        )
+    c = r["cores_per_worker"]
+    # json round-trip stringifies int keys
+    runs = {int(k): v for k, v in r["eps_runs"].items()}
+    med = {int(k): v for k, v in r["median_eps"].items()}
+    rows = [
+        f"| {n} executors x {c} cores | {n * c} | {med[n]:,.0f} | "
+        + ", ".join(f"{v:,.0f}" for v in runs[n]) + " |"
+        for n in sorted(med)
+    ]
+    pair_lines = [
+        f"| {p['small_execs']} -> {p['big_execs']} executors | "
+        f"{p['small_eps']:,.0f} | {p['big_eps']:,.0f} | **{p['efficiency']}** |"
+        for p in r["pairs"]
+    ]
+    return f"""## Secondary evidence: true multi-executor topology (spark-submit)
+
+The north rule's literal two-cluster-size criterion: the SAME job
+submitted via spark-submit --py-files to a standalone cluster at N and
+4N executor JVMs (`tools/standalone_cluster.sh`), every worker pinned
+to its own disjoint cores (the faithful one-box model of separate
+executor nodes), driver pinned to its own cores at every size. Median
+of {r["repeats"]} interleaved repeats on the same {r["n_events"]:,}-event log:
+
+| topology | total cores | events/sec (median) | individual runs |
+|---|---|---|---|
+{chr(10).join(rows)}
+
+| pair | eps_N | eps_4N | efficiency |
+|---|---|---|---|
+{chr(10).join(pair_lines)}
+
+Determinism across cluster sizes: final state hash identical =
+**{r["state_match"]}** ({json.dumps(r["state_hashes"])})."""
+
+
 def write_scaling_md(res: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(res, f, indent=1)
+    # json round-trips (refresh after --scaling-exec) stringify int keys
+    res = dict(res)
+    res["median_eps"] = {int(k): v for k, v in res["median_eps"].items()}
+    res["eps_runs"] = {int(k): v for k, v in res["eps_runs"].items()}
+    res["bandwidth_gbps"] = {
+        int(k): v for k, v in res.get("bandwidth_gbps", {}).items()
+    }
     rows = []
     for c, med in sorted(res["median_eps"].items()):
         runs = ", ".join(f"{v:,.0f}" for v in res["eps_runs"][c])
@@ -431,35 +610,12 @@ ALL parallelism levels: **{res['state_match']}**
 strictly LSN-ordered (per-key max-LSN reduce), so the materialized
 state is independent of task scheduling — SURVEY.md §7.4 hard-part 4.
 
-## Secondary evidence: true multi-executor topology (spark-submit)
+{_standalone_md_section()}
 
-Same job submitted to a pinned standalone cluster
-(`tools/standalone_cluster.sh` + `tools/submit_replay.sh`, each worker
-JVM taskset-pinned to its own disjoint cores — the faithful
-one-box model of separate executor nodes), single runs on the same
-8M-event log:
-
-| topology | total cores | events/sec |
-|---|---|---|
-| 2 executors x 4 cores | 8 | 236,871 |
-| 8 executors x 4 cores | 32 | 159,257 |
-| 1 executor x 1 core | 1 | 56,602 |
-| 4 executors x 1 core | 4 | 139,192 |
-| 8 executors x 1 core | 8 | 147,755 |
-
-2 executors x 4 pinned cores (236k eps) beat one local[8] JVM measured
-in the SAME time window (192k): separate driver/executor JVMs help
-exactly as on a real cluster. (Absolute numbers across tables are not
-comparable — this VM's available capacity swings hour to hour with
-host neighbors; compare only within a run set.) Every 32-core
-configuration saturates the host regardless of topology, with no
-serial step in the engine: determinism hashes match across all
-topologies.
-
-Reproduce: `python bench.py --scaling` (env: SPARK_GRAFT_SCALE_EVENTS,
-SPARK_GRAFT_SCALE_REPEATS). Cluster launch paths:
-`tools/submit_replay.sh` (spark-submit --py-files, any master) and
-`tools/standalone_cluster.sh` (pinned multi-executor standalone).
+Reproduce: `python bench.py --scaling` (pinned local[N] protocol) and
+`python bench.py --scaling-exec` (pinned N vs 4N executor JVMs via
+spark-submit --py-files; env: SPARK_GRAFT_SCALE_EVENTS,
+SPARK_GRAFT_SCALE_REPEATS, SPARK_GRAFT_EXEC_CORES).
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
@@ -469,8 +625,24 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
                     help="two-parallelism scaling run -> BENCH/BASELINE.md")
+    ap.add_argument("--scaling-exec", action="store_true",
+                    help="N vs 4N pinned executor JVMs via spark-submit "
+                         "(standalone cluster) -> BENCH/standalone.json + "
+                         "BENCH/BASELINE.md refresh")
     args = ap.parse_args()
-    if args.scaling:
+    if args.scaling_exec:
+        res = run_scaling_exec(
+            int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000")),
+            repeats=int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3")),
+            cores_per_worker=int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2")),
+        )
+        try:  # refresh BASELINE.md's standalone section from the new data
+            with open("BENCH/scaling.json") as f:
+                write_scaling_md(json.load(f))
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(res))
+    elif args.scaling:
         res = run_scaling(
             [(1, 4), (2, 8)],
             int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000")),

@@ -11,13 +11,17 @@ Reference semantics implemented here (SURVEY.md §2.2):
 Physical plan — exactly TWO Spark actions per batch, chosen over both
 a full-outer join and a cached-updates design deliberately:
 
-    1. slim conflict-resolution build: groupBy(key).agg(max(lsn<<2|op),
-       count) — persisted. Its stats probe (key count + distinct buckets
-       + data-row count) is the action that materializes the cache; ALL
-       batch-level control metrics (seen/late/schema events) ride the
-       same single pass as a CollectMetrics observation, so the batch is
-       scanned once, narrow. A narrow count_distinct(lsn) job (longs
-       only) then gives the exact duplicate-delivery count.
+    1. slim conflict-resolution build, two HashAggregate levels:
+       groupBy(key, lsn<<2|op).count -> groupBy(key).agg(max(packed),
+       sum(count), count) — persisted. Level 1 collapses duplicate
+       deliveries with an exact count, so the per-key distinct-lsn
+       cardinality (and from it the exact duplicate-delivery total)
+       falls out of the same pipeline — no count_distinct job, no
+       second scan. The stats probe (key count + distinct buckets +
+       data-row + distinct-lsn counts) is the action that materializes
+       the cache; ALL batch-level control metrics (seen/late/schema
+       events) ride the same single pass as a CollectMetrics
+       observation, so the batch is scanned exactly once, narrow.
     2. the fused merge+write job:
          target(touched buckets)  LEFT JOIN  broadcast(slim key->op)
              -> keep unmatched rows ("carry"), drop matched
@@ -48,6 +52,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -222,31 +227,53 @@ def _apply_policies(winners, slim, data, target, policies: MergePolicies,
     return w, overrides
 
 
-def apply_batch(
+@dataclass
+class PreparedBatch:
+    """Output of ``prepare_batch``: everything about one micro-batch that
+    does NOT depend on current table *state* (only on the log slice and
+    the checkpoint value it was prepared against). Because each batch's
+    LSN window is disjoint and the checkpoint after batch b is exactly
+    ``lsn_to(b)``, batch b+1 can be prepared CONCURRENTLY with batch b's
+    merge+write — the replay loop pipelines the slim conflict-resolution
+    build of the next batch under the write of the current one, filling
+    executor slots the write leaves idle and hiding the prepare phase's
+    wall time entirely (except the first batch's)."""
+
+    batch_id: int
+    lsn_from: int
+    lsn_to: int
+    ckpt: int
+    m: BatchMetrics
+    noop: bool = False
+    slim: DataFrame | None = None
+    data: DataFrame | None = None
+    changes: list | None = None
+    n_keys: int = 0
+    touched: list | None = None
+    prepare_secs: float = 0.0
+
+
+def prepare_batch(
     spark: SparkSession,
     table: SnapshotTable,
     batch: DataFrame,
     batch_id: int,
     lsn_from: int,
     lsn_to: int,
-    salted_dedup: bool = False,
-    use_arrow_udfs: bool = False,
+    ckpt: int,
     use_observations: bool = True,
     policies: MergePolicies = NO_POLICIES,
-) -> BatchMetrics:
-    """Apply one LSN-bounded micro-batch exactly-once; returns metrics.
-
-    Idempotent: a batch whose lsn_to <= checkpoint is a recorded no-op;
-    individual events at-or-below the checkpoint count as late and drop
-    (D5 grace semantics, replication_otrs_to_dwh/main.py:64-66 analog).
-    """
+) -> PreparedBatch:
+    """Phase 1 of a batch: counts, slim conflict resolution, schema-change
+    extraction. Triggers the slim stats action (the only action here);
+    reads no table data, so it is safe to run ahead of the previous
+    batch's commit as long as ``ckpt`` is the checkpoint that commit will
+    establish."""
     t0 = time.time()
-    ckpt = table.last_lsn()
     m = BatchMetrics(batch_id=batch_id, lsn_from=lsn_from, lsn_to=lsn_to)
 
     if lsn_to <= ckpt:  # replayed batch: exactly-once no-op
-        m.wall_secs = time.time() - t0
-        return m
+        return PreparedBatch(batch_id, lsn_from, lsn_to, ckpt, m, noop=True)
 
     # The packed-long conflict resolution rides op in the low 2 bits of
     # (lsn << 2); lsn >= 2^61 would overflow the long and corrupt winner
@@ -304,27 +331,43 @@ def apply_batch(
     # buffers: a max(long) lsn-pointer per coalesce column (the value is
     # fetched later by a narrow join on that pointer, so wide values
     # never enter an aggregation buffer), min/max(ts) for track_seen
-    policy_aggs = []
+    lvl1_aggs = []
+    lvl2_aggs = []
     sel_extra = []
     for c in policies.coalesce_cols:
         v = _event_value_expr(c)
         sel_extra.append(
             F.when(v.isNotNull() & (F.col("op") != "D"), F.col("lsn")).alias(f"_pc_{c}")
         )
-        policy_aggs.append(F.max(f"_pc_{c}").alias(f"_pl_{c}"))
+        lvl1_aggs.append(F.max(f"_pc_{c}").alias(f"_pc_{c}"))
+        lvl2_aggs.append(F.max(f"_pc_{c}").alias(f"_pl_{c}"))
     if policies.track_seen:
         sel_extra.append(F.col("ts").alias("_ts"))
-        policy_aggs.append(F.min("_ts").alias("_fs"))
-        policy_aggs.append(F.max("_ts").alias("_ls"))
+        lvl1_aggs.append(F.min("_ts").alias("_fs1"))
+        lvl1_aggs.append(F.max("_ts").alias("_ls1"))
+        lvl2_aggs.append(F.min("_fs1").alias("_fs"))
+        lvl2_aggs.append(F.max("_ls1").alias("_ls"))
     policy_out = [f"_pl_{c}" for c in policies.coalesce_cols] + (
         ["_fs", "_ls"] if policies.track_seen else []
     )
+    # level 1 groups by (key, packed): duplicate deliveries of the same
+    # lsn collapse HERE with an exact count, so per-key distinct-lsn
+    # cardinality (= level-2 count(*)) comes out of the same pipeline and
+    # the old separate count_distinct scan of the batch is gone entirely.
+    # Both levels plan as HashAggregate over fixed-width buffers.
     slim = (
         slim_src.select(
             *KEY_COLS, (F.shiftleft(F.col("lsn"), 2) + op_code).alias("_p"), *sel_extra
         )
+        .groupBy(*KEY_COLS, "_p")
+        .agg(F.count("*").alias("_c"), *lvl1_aggs)
         .groupBy(*KEY_COLS)
-        .agg(F.max("_p").alias("_p"), F.count("*").alias("_n"), *policy_aggs)
+        .agg(
+            F.max("_p").alias("_p"),
+            F.sum("_c").alias("_n"),
+            F.count("*").alias("_nd"),
+            *lvl2_aggs,
+        )
         .select(
             *KEY_COLS,
             F.shiftright(F.col("_p"), 2).alias("lsn"),
@@ -333,6 +376,7 @@ def apply_batch(
                 (F.pmod(F.col("_p"), F.lit(4)) + 1).cast("int"),
             ).alias("op"),
             "_n",
+            "_nd",
             *policy_out,
         )
         .persist()
@@ -345,6 +389,7 @@ def apply_batch(
         F.count("*").alias("n_keys"),
         F.collect_set(bucket_expr(table.n_buckets)).alias("touched"),
         F.sum("_n").alias("n_rows"),
+        F.sum("_nd").alias("n_distinct"),
     ).collect()[0]
     m.phase_secs["slim_build"] = round(time.time() - t_phase, 3)
     counts = None
@@ -371,22 +416,15 @@ def apply_batch(
     m.late_events = counts["late"] or 0
     m.data_events = counts["n_data"] or 0
     m.schema_events = (counts["n_live"] or 0) - m.data_events
-    # data-event re-deliveries (same lsn twice): exact, from a NARROW
-    # (lsn, op) distinct count — longs only, never the key strings, so it
-    # costs ~1/10 of the old full counting aggregate. The result gates
-    # the write job's dedup: a proved-duplicate-free batch skips the
-    # full-content dedup shuffle. Schema-event re-deliveries are folded
-    # idempotently by extract_schema_changes and not counted here.
-    t_phase = time.time()
+    # data-event re-deliveries (same lsn twice): exact, straight from the
+    # slim stats — level 1 of the slim aggregate groups by (key, packed
+    # lsn), so sum(_n) - sum(_nd) is exactly the number of duplicate
+    # deliveries; there is NO separate scan or action for it. The result
+    # gates the write job's dedup: a proved-duplicate-free batch skips
+    # the full-content dedup shuffle. Schema-event re-deliveries are
+    # folded idempotently by extract_schema_changes and not counted here.
     n_data_rows = int(slim_stats["n_rows"] or 0)
-    if n_data_rows:
-        n_distinct = int(
-            data.agg(F.count_distinct("lsn").alias("d")).collect()[0]["d"] or 0
-        )
-    else:
-        n_distinct = 0
-    m.duplicate_deliveries = n_data_rows - n_distinct
-    m.phase_secs["dup_check"] = round(time.time() - t_phase, 3)
+    m.duplicate_deliveries = n_data_rows - int(slim_stats["n_distinct"] or 0)
 
     # --- schema evolution (fold the collected control events, lsn order,
     # idempotent under duplicate deliveries)
@@ -401,6 +439,49 @@ def apply_batch(
         for d in (json.loads(sr) for sr in (counts["schema_rows"] or []))
     ]
     changes: list[SchemaChange] = extract_schema_changes(schema_rows)
+
+    return PreparedBatch(
+        batch_id, lsn_from, lsn_to, ckpt, m,
+        slim=slim,
+        data=data,
+        changes=changes,
+        n_keys=int(slim_stats["n_keys"] or 0),
+        touched=sorted(int(b) for b in (slim_stats["touched"] or [])),
+        prepare_secs=time.time() - t0,
+    )
+
+
+def apply_prepared(
+    spark: SparkSession,
+    table: SnapshotTable,
+    prep: PreparedBatch,
+    salted_dedup: bool = False,
+    use_arrow_udfs: bool = False,
+    use_observations: bool = True,
+    policies: MergePolicies = NO_POLICIES,
+) -> BatchMetrics:
+    """Phase 2 of a batch: fold schema changes into the table's dynamic
+    schema, CoW-merge the prepared winners into the touched buckets, and
+    commit. Must run against the exact table state (checkpoint) the
+    batch was prepared for."""
+    t0 = time.time()
+    m = prep.m
+    if prep.noop:
+        m.wall_secs = time.time() - t0
+        return m
+    if table.last_lsn() != prep.ckpt:
+        # prepared against a stale checkpoint (never happens in the
+        # replay loop, which pipelines strictly in LSN order) — the slim
+        # filters baked ckpt in, so rebuild rather than corrupt
+        prep.slim.unpersist()
+        raise ValueError(
+            f"batch {prep.batch_id} prepared at ckpt={prep.ckpt} but table "
+            f"is at {table.last_lsn()}; re-prepare before applying"
+        )
+    ckpt, lsn_to = prep.ckpt, prep.lsn_to
+    slim, data, changes = prep.slim, prep.data, prep.changes
+    m.phase_secs["prepare"] = round(prep.prepare_secs, 3)
+
     dyn_prev = table.dyn_schema()
     dyn_final = apply_to_dyn_schema(dyn_prev, changes)
     if policies.track_seen:
@@ -410,8 +491,8 @@ def apply_batch(
     m.full_rewrite = full_rewrite
     manifest_prev = table.manifest()
 
-    n_keys = slim_stats["n_keys"] or 0
-    touched = sorted(int(b) for b in (slim_stats["touched"] or []))
+    n_keys = prep.n_keys
+    touched = prep.touched
     if full_rewrite:
         committed = [int(b) for b in manifest_prev["files"]]
         touched = sorted(set(touched) | set(committed))
@@ -435,11 +516,42 @@ def apply_batch(
         return _merge_and_commit(
             spark, table, m, slim, data, target, changes, dyn_final, touched,
             full_rewrite, manifest_prev, do_broadcast, n_keys, ckpt, lsn_to,
-            batch_id, salted_dedup, use_arrow_udfs, use_observations, dup_free,
-            policies, t0,
+            prep.batch_id, salted_dedup, use_arrow_udfs, use_observations,
+            dup_free, policies, t0,
         )
     finally:
         slim.unpersist()
+
+
+def apply_batch(
+    spark: SparkSession,
+    table: SnapshotTable,
+    batch: DataFrame,
+    batch_id: int,
+    lsn_from: int,
+    lsn_to: int,
+    salted_dedup: bool = False,
+    use_arrow_udfs: bool = False,
+    use_observations: bool = True,
+    policies: MergePolicies = NO_POLICIES,
+) -> BatchMetrics:
+    """Apply one LSN-bounded micro-batch exactly-once; returns metrics.
+
+    Idempotent: a batch whose lsn_to <= checkpoint is a recorded no-op;
+    individual events at-or-below the checkpoint count as late and drop
+    (D5 grace semantics, replication_otrs_to_dwh/main.py:64-66 analog).
+    ``prepare_batch`` + ``apply_prepared`` in sequence; the replay loop
+    calls the two halves directly to pipeline batches.
+    """
+    prep = prepare_batch(
+        spark, table, batch, batch_id, lsn_from, lsn_to, table.last_lsn(),
+        use_observations=use_observations, policies=policies,
+    )
+    return apply_prepared(
+        spark, table, prep,
+        salted_dedup=salted_dedup, use_arrow_udfs=use_arrow_udfs,
+        use_observations=use_observations, policies=policies,
+    )
 
 
 def _merge_and_commit(

@@ -46,8 +46,24 @@ def replay(
     use_arrow_udfs: bool = False,
     log: bool = False,
     policies: MergePolicies = NO_POLICIES,
+    pipelined: bool = True,
 ) -> list[BatchMetrics]:
-    """Replay the whole log (or the next ``max_batches``) into the table."""
+    """Replay the whole log (or the next ``max_batches``) into the table.
+
+    Pipelined: batch windows are fixed LSN ranges, so the checkpoint
+    after batch b is known (= lsn_to(b)) before b commits — the next
+    batch's prepare phase (slim conflict resolution; reads only the log)
+    runs on a background thread CONCURRENTLY with the current batch's
+    merge+write job, filling executor slots the write leaves idle. The
+    commit itself stays strictly sequential, so exactly-once and
+    crash-resume semantics are identical to the serial loop: on restart
+    the cursor re-reads the table checkpoint and any half-prepared batch
+    is simply re-prepared.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .merge import apply_prepared, prepare_batch
+
     bounds = events.agg(
         F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
     ).collect()[0]
@@ -55,26 +71,51 @@ def replay(
         return []
     hi = int(bounds["hi"])
 
+    def window(cursor: int) -> tuple[int, int, DataFrame]:
+        lsn_from, lsn_to = cursor, min(cursor + batch_size, hi)
+        return lsn_from, lsn_to, events.where(
+            (F.col("lsn") > lsn_from) & (F.col("lsn") <= lsn_to)
+        )
+
     out: list[BatchMetrics] = []
     batch_id = table.version()
     cursor = table.last_lsn()
-    while cursor < hi:
-        lsn_from, lsn_to = cursor, min(cursor + batch_size, hi)
-        batch = events.where(
-            (F.col("lsn") > lsn_from) & (F.col("lsn") <= lsn_to)
-        )
-        batch_id += 1
-        bm = apply_batch(
-            spark, table, batch, batch_id, lsn_from, lsn_to,
-            salted_dedup=salted_dedup, use_arrow_udfs=use_arrow_udfs,
-            policies=policies,
-        )
-        out.append(bm)
-        if log:
-            print(json.dumps(bm.to_dict()), file=sys.stderr)
-        cursor = table.last_lsn()
-        if max_batches and len(out) >= max_batches:
-            break
+    pool = ThreadPoolExecutor(max_workers=1) if pipelined else None
+    try:
+        prep = None
+        while cursor < hi:
+            lsn_from, lsn_to, batch = window(cursor)
+            batch_id += 1
+            if prep is None:
+                prep = prepare_batch(
+                    spark, table, batch, batch_id, lsn_from, lsn_to, cursor,
+                    policies=policies,
+                )
+            nxt = None
+            last = (max_batches and len(out) + 1 >= max_batches) or lsn_to >= hi
+            if pool is not None and not last:
+                nxt_from, nxt_to, nxt_batch = window(lsn_to)
+                nxt = pool.submit(
+                    prepare_batch, spark, table, nxt_batch, batch_id + 1,
+                    nxt_from, nxt_to, lsn_to, policies=policies,
+                )
+            bm = apply_prepared(
+                spark, table, prep,
+                salted_dedup=salted_dedup, use_arrow_udfs=use_arrow_udfs,
+                policies=policies,
+            )
+            out.append(bm)
+            if log:
+                print(json.dumps(bm.to_dict()), file=sys.stderr)
+            cursor = table.last_lsn()
+            prep = nxt.result() if nxt is not None else None
+            if max_batches and len(out) >= max_batches:
+                if prep is not None and prep.slim is not None:
+                    prep.slim.unpersist()
+                break
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
     return out
 
 
@@ -106,12 +147,29 @@ def main(argv: list[str] | None = None) -> None:
 
         from .gen import GenConfig, generate_events
 
+        # Steady-state warmup: the north-rule regime is a 10^10-event
+        # replay where JIT/codegen cost is amortized to zero, so the
+        # timed run should start hot. 500k events through the SAME plan
+        # shape (two batches, same bucket count) compiles and JITs the
+        # prepare + merge-write paths; measured, the first cold batch
+        # otherwise runs ~2x slower than steady state and distorts any
+        # scaling comparison (the distortion is larger at higher core
+        # counts, where the whole run is shorter).
         wtab = SnapshotTable(
-            spark, tempfile.mkdtemp(prefix="replay_warm_"), n_buckets=8
+            spark, tempfile.mkdtemp(prefix="replay_warm_"),
+            n_buckets=args.n_buckets,
         )
-        replay(spark, generate_events(spark, GenConfig(n_events=20_000, n_keys=2_000)),
-               wtab, batch_size=10_000)
+        replay(spark,
+               generate_events(spark, GenConfig(n_events=500_000, n_keys=60_000)),
+               wtab, batch_size=250_000)
     table = SnapshotTable(spark, args.table, n_buckets=args.n_buckets)
+    # wall-clock around the whole loop: with pipelined prepares the
+    # per-batch walls overlap, so summing them would double-count (and
+    # miss the first batch's prepare). This is the honest end-to-end
+    # number: log-bounds probe + every prepare + every merge + commit.
+    import time as _time
+
+    t0 = _time.time()
     metrics = replay(
         spark,
         read_event_log(spark, args.events),
@@ -122,8 +180,8 @@ def main(argv: list[str] | None = None) -> None:
         use_arrow_udfs=args.arrow_udfs,
         log=True,
     )
+    secs = _time.time() - t0
     total = sum(bm.events_seen for bm in metrics)
-    secs = sum(bm.wall_secs for bm in metrics)
     print(
         json.dumps(
             {
