@@ -664,23 +664,35 @@ def _merge_and_commit(
     m.phase_secs["merge_write"] = round(time.time() - t_phase, 3)
     t_phase = time.time()
 
+    ops = None
     if win_obs is not None:
-        ops = win_obs.get
-    elif m.data_events and not use_observations:
+        # same elided-CollectMetrics guard as the ctl observation: on a
+        # plan Catalyst collapsed (tiny LocalRelation batches whose
+        # winner branch folds to empty) the node vanishes and the
+        # observation row cannot cross py4j — recompute from the cached
+        # slim instead of crashing
+        try:
+            ops = win_obs.get or None
+        except Exception:
+            ops = None
+    if ops is None and m.data_events:
         r = slim.agg(
             F.sum(F.when(F.col("op").isin("I", "U"), 1).otherwise(0)).alias("n_iu"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_d"),
         ).collect()[0]
         ops = {"n_iu": r["n_iu"], "n_d": r["n_d"]}
-    else:
-        ops = {}
+    ops = ops or {}
     n_iu = int(ops.get("n_iu") or 0)
     n_d = int(ops.get("n_d") or 0)
     m.winners = n_iu + n_d
     m.conflicts_resolved = m.data_events - m.winners
+    tgt = None
     if tgt_obs is not None:
-        tgt = tgt_obs.get
-    elif not target_known_empty and not use_observations:
+        try:
+            tgt = tgt_obs.get or None
+        except Exception:
+            tgt = None
+    if tgt is None and not target_known_empty:
         # recompute the carry/match split from a column-pruned target
         # scan joined to the (cached, tiny) slim winners
         r = (
@@ -694,8 +706,7 @@ def _merge_and_commit(
             ).collect()[0]
         )
         tgt = {"carried": r["carried"], "deleted": r["deleted"], "replaced": r["replaced"]}
-    else:
-        tgt = {}
+    tgt = tgt or {}
     m.deleted = int(tgt.get("deleted") or 0)
     replaced = int(tgt.get("replaced") or 0)
     m.updated = replaced

@@ -116,3 +116,155 @@ def test_replay_matches_independent_reducer(spark, tmp_path_factory, log):
         g = got[key]
         for c in ("commit", "lang", "content", "content_sha256", "_last_lsn"):
             assert g[c] == w[c], f"{key}.{c}: engine={g[c]!r} oracle={w[c]!r}"
+
+
+# --------------------------------------------------------------------------
+# schema evolution under random interleavings + batch boundaries
+# --------------------------------------------------------------------------
+
+@st.composite
+def evolving_logs(draw):
+    """I/U/D data events interleaved with S control events (add column,
+    rename, widen long->string), extra-map payloads only ever using the
+    column names live at that lsn, plus duplicate deliveries of both
+    data AND control events."""
+    events = []
+    live_cols: dict[str, str] = {}  # current name -> ddl type
+    n_added = 0
+    n = draw(st.integers(min_value=4, max_value=26))
+    for i in range(n):
+        lsn = i + 1
+        kind = draw(st.sampled_from(
+            ["data"] * 5 + ["add", "rename", "widen"]))
+        if kind == "add" and n_added < 4:
+            name = f"c{n_added}"
+            ddl = draw(st.sampled_from(["string", "long"]))
+            live_cols[name] = ddl
+            n_added += 1
+            events.append(_s_event(lsn, "add", name, None, ddl))
+            continue
+        if kind == "rename" and live_cols:
+            old = draw(st.sampled_from(sorted(live_cols)))
+            new = old + "r"
+            if new not in live_cols:
+                live_cols[new] = live_cols.pop(old)
+                events.append(_s_event(lsn, "rename", old, new, None))
+                continue
+        if kind == "widen":
+            longs = [c for c, t in live_cols.items() if t == "long"]
+            if longs:
+                col = draw(st.sampled_from(longs))
+                live_cols[col] = "string"
+                events.append(_s_event(lsn, "widen", col, None, "string"))
+                continue
+        # data event (also the fallback when add/rename/widen is not legal)
+        k = draw(st.integers(0, len(KEYS) - 1))
+        op = draw(st.sampled_from("IUD"))
+        repo, path = KEYS[k]
+        extra = None
+        if op != "D" and live_cols:
+            extra = {
+                c: (draw(st.text(alphabet="xyz", max_size=3))
+                    if live_cols[c] == "string"
+                    else str(draw(st.integers(0, 99))))
+                for c in sorted(live_cols)
+                if draw(st.booleans())
+            } or None
+        events.append({
+            "lsn": lsn, "op": op, "repo": repo, "path": path,
+            "commit": f"c{i:04x}", "lang": "python" if op != "D" else None,
+            "content": None if op == "D" else f"v{i}",
+            "ts": TS0 + datetime.timedelta(seconds=i),
+            "extra": extra, "schema_change": None,
+        })
+    for idx in draw(st.lists(st.integers(0, len(events) - 1), max_size=3)):
+        events.append(dict(events[idx]))  # redeliver data AND control events
+    batch_size = draw(st.integers(1, n))
+    return events, batch_size
+
+
+def _s_event(lsn, kind, column, new_name, new_type):
+    return {
+        "lsn": lsn, "op": "S", "repo": None, "path": None, "commit": None,
+        "lang": None, "content": None,
+        "ts": TS0 + datetime.timedelta(seconds=lsn),
+        "extra": None,
+        "schema_change": {"kind": kind, "column": column,
+                          "new_name": new_name, "new_type": new_type},
+    }
+
+
+def _mini_reduce_evolving(events):
+    """Independent reducer with dynamic columns: add (null backfill),
+    rename (re-home stored values), widen long->string (restringify)."""
+    state: dict = {}
+    dyn: list[list] = []  # [name, ddl]
+    seen = set()
+    for e in sorted(events, key=lambda e: e["lsn"]):
+        if e["lsn"] in seen:
+            continue
+        seen.add(e["lsn"])
+        if e["op"] == "S":
+            sc = e["schema_change"]
+            if sc["kind"] == "add":
+                dyn.append([sc["column"], sc["new_type"]])
+            elif sc["kind"] == "rename":
+                for c in dyn:
+                    if c[0] == sc["column"]:
+                        c[0] = sc["new_name"]
+                for row in state.values():
+                    if sc["column"] in row["x"]:
+                        row["x"][sc["new_name"]] = row["x"].pop(sc["column"])
+            elif sc["kind"] == "widen":
+                for c in dyn:
+                    if c[0] == sc["column"]:
+                        c[1] = sc["new_type"]
+            continue
+        key = (e["repo"], e["path"])
+        if e["op"] == "D":
+            state.pop(key, None)
+            continue
+        state[key] = {
+            "commit": e["commit"],
+            "content": e["content"],
+            "content_sha256": hashlib.sha256(e["content"].encode()).hexdigest(),
+            "_last_lsn": e["lsn"],
+            "x": dict(e["extra"] or {}),
+        }
+    final = [(c[0], c[1]) for c in dyn]
+    out = {}
+    for key, row in state.items():
+        r = {k: v for k, v in row.items() if k != "x"}
+        for name, ddl in final:
+            v = row["x"].get(name)
+            r[name] = (int(v) if ddl == "long" and v is not None else v)
+        out[key] = r
+    return out, final
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(log=evolving_logs())
+def test_schema_evolution_replay_matches_reducer(spark, tmp_path_factory, log):
+    events, batch_size = log
+    n_real = max(e["lsn"] for e in events)
+    batch_size = max(batch_size, math.ceil(n_real / 4))
+    df = spark.createDataFrame(events, EVENT_SCHEMA)
+    want, final_dyn = _mini_reduce_evolving(events)
+
+    tmp = tmp_path_factory.mktemp("prop_evo")
+    table = SnapshotTable(spark, str(tmp / "lake"), n_buckets=4)
+    replay(spark, df, table, batch_size=batch_size)
+
+    assert table.dyn_schema() == [tuple(c) for c in final_dyn]
+    got = {(r["repo"], r["path"]): r.asDict() for r in table.read().collect()}
+    assert set(got) == set(want)
+    for key, w in want.items():
+        g = got[key]
+        for c, v in w.items():
+            assert g[c] == v, f"{key}.{c}: engine={g[c]!r} oracle={v!r}"
