@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .util import fan_out
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -90,7 +92,7 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(op, FEATURE_SCHEMA)
+    return fan_out(df).mapInPandas(op, FEATURE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
@@ -110,7 +112,7 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
                     chunk_sha.append(hashlib.sha256(b[off : off + every_n_bytes]).hexdigest())
             yield pd.DataFrame({"media_id": ids, "offset": offs, "chunk_sha256": chunk_sha})
 
-    return df.mapInPandas(op, "media_id long, offset long, chunk_sha256 string")
+    return fan_out(df).mapInPandas(op, "media_id long, offset long, chunk_sha256 string")
 
 
 def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .util import fan_out
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -103,7 +105,7 @@ def brute_force_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (
@@ -183,7 +185,7 @@ def lsh_topk(
     pairs are deduped BEFORE the cosine projection so each pair's
     O(dim) work is paid once. Recall is tested vs brute force."""
     b = lsh_multitable_udf(dim, n_planes, n_tables, seed)
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.explode(b(F.col(vec_col))).alias("bucket"),
@@ -263,7 +265,7 @@ def ivf_topk(
     cents = _ivf_centroids(corpus, n_centroids, dim, id_col, vec_col)
     route1 = _ivf_assign_udf(cents, 1)
     routeN = _ivf_assign_udf(cents, nprobe)
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.element_at(route1(F.col(vec_col)), 1).alias("cluster"),
@@ -300,7 +302,7 @@ def embedding_neardup_pairs(
     multi-table LSH buckets (high threshold -> high per-table collision
     probability, so few tables suffice). Pairs dedup before the cosine."""
     b = lsh_multitable_udf(dim, n_planes, n_tables, seed)
-    v = df.select(
+    v = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.explode(b(F.col(vec_col))).alias("bucket"),
