@@ -136,3 +136,51 @@ def stream_replay(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_windowed_rates(
+    spark: SparkSession,
+    events_dir: str,
+    window_dur: str = "1 minute",
+    watermark: str = "30 seconds",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Event-time windowed per-repo rates over the live log — the
+    streaming analog of the batch windowed-derivative scan (S7/A5,
+    reference write_metrics_to_influxdb/main.py mean-over-window shape).
+
+    Unlike the CDC merge path (whose only watermark is the committed
+    LSN), a rate/metrics aggregation is event-time stateful: the
+    ``withWatermark`` bound lets Spark finalize and EVICT window state
+    older than max(event_time) - watermark, so state is O(active
+    windows), not O(stream history) — the property that keeps this
+    runnable forever at 10^10-event scale. Events later than the
+    watermark are dropped from their (already finalized) window, the
+    documented late-data grace (D5) trade.
+
+    Returns the streaming DataFrame; attach a sink (memory/foreachBatch/
+    parquet) and trigger to run. ``update`` output mode emits per-batch
+    refinements; ``append`` emits each window once, when finalized.
+    """
+    from pyspark.sql import functions as F
+
+    src = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        src = src.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = src.parquet(events_dir)
+    return (
+        events.where(F.col("op") != "S")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_dur).alias("w"), "repo")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("lsn").alias("max_lsn"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "repo",
+            "n_events",
+            "max_lsn",
+        )
+    )

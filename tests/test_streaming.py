@@ -140,3 +140,72 @@ def test_out_of_order_delivery_fails_loudly(spark, tmp_path):
     except Exception as e:  # StreamingQueryException wraps the sink error
         raised = "OutOfOrderDeliveryError" in str(e) or "out of LSN order" in str(e)
     assert raised, "out-of-order batch must fail the stream, not drop data"
+
+
+def test_windowed_rates_watermark_drops_late(spark, tmp_path):
+    """Event-time windowed aggregation in APPEND mode: a window is
+    emitted exactly once when the watermark passes its end, late rows to
+    a finalized window are strictly dropped, and unfinalized windows are
+    never emitted. State is bounded by the watermark — the property that
+    keeps the aggregation runnable at 10^10 events."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.schema import EVENT_SCHEMA
+    from etl_spark.streaming.stream_runner import stream_windowed_rates
+
+    log_dir = str(tmp_path / "wlog")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(lsn, secs):
+        return {
+            "lsn": lsn, "op": "I", "repo": "r1", "path": f"f{lsn}.py",
+            "commit": f"c{lsn}", "lang": "python", "content": "x",
+            "ts": t0 + datetime.timedelta(seconds=secs),
+            "extra": None, "schema_change": None,
+        }
+
+    # Three files -> three micro-batches (maxFilesPerTrigger=1). The
+    # watermark a batch OPERATES under is the one computed after the
+    # batch BEFORE the previous one (Spark propagates it with one batch
+    # of lag), so the late file is placed two batches after the events
+    # that advance the watermark past its window:
+    #   A: minute-0 events + a minute-3 event (max ts 03:00)
+    #   B: minute-3 event (max ts 03:30) -> watermark 03:00 operative in C
+    #   C: LATE minute-0 event -> strictly dropped; window already final
+    writes = [
+        [ev(1, 10), ev(2, 40), ev(3, 180)],
+        [ev(4, 210)],
+        [ev(5, 20)],  # late: window [00:00, 01:00) long finalized
+    ]
+    base = 1_700_000_000
+    have: set = set()
+    for i, rows in enumerate(writes):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(log_dir)
+        new = {p for p in os.listdir(log_dir) if p.startswith("part-")} - have
+        for p_ in new:  # uuid part names: order mtimes by write order
+            os.utime(os.path.join(log_dir, p_), (base + 60 * i, base + 60 * i))
+        have |= new
+
+    agg = stream_windowed_rates(spark, log_dir, "1 minute", "30 seconds")
+    batches = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: batches.append((eid, df.collect())))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = [r for _, rows in batches for r in rows]
+    # exactly ONE window finalized — minute 0, emitted once the 03:00
+    # watermark (from file B) became operative — and the late lsn=5
+    # event was strictly dropped: count stays 2, max_lsn stays 2.
+    # Minute 3 never finalizes (watermark never passes 04:00) and is
+    # never emitted.
+    assert [(r["window_start"], r["repo"], r["n_events"], r["max_lsn"])
+            for r in emitted] == [(t0, "r1", 2, 2)]
