@@ -41,10 +41,15 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .dedup import DEFAULT_BUCKETS
 from .schema import BASE_TABLE_FIELDS
+
+
+class SnapshotExpiredError(ValueError):
+    """Time-travel target no longer materialized (expired by retention)."""
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -111,18 +116,72 @@ class SnapshotTable:
         keys = [str(b) for b in buckets] if buckets is not None else list(files)
         return [os.path.join(self.root, files[k]) for k in keys if k in files]
 
-    def read(self, buckets: list[int] | None = None, manifest: dict | None = None) -> DataFrame:
-        """Read the committed snapshot (optionally a bucket subset).
+    def manifest_at(self, version: int) -> dict:
+        """The committed manifest of an arbitrary snapshot version.
+        Raises SnapshotExpiredError if the version's manifest is gone or
+        any of its data dirs was removed by ``expire_snapshots``."""
+        if version == 0:
+            return {"version": 0, "last_lsn": 0, "dyn_schema": [],
+                    "files": {}, "n_buckets": self.n_buckets}
+        path = os.path.join(self.root, "manifests", f"v{version}.json")
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            raise SnapshotExpiredError(
+                f"version {version}: manifest expired or never committed "
+                f"(latest is {self.version()})"
+            ) from None
+        missing = [d for d in self._bucket_dirs(m) if not os.path.isdir(d)]
+        if missing:
+            raise SnapshotExpiredError(
+                f"version {version}: {len(missing)} data dir(s) removed by "
+                "retention; raise expire_snapshots keep_last to time-travel "
+                "this far back"
+            )
+        return m
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        manifest: dict | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the committed snapshot (optionally a bucket subset, or an
+        older snapshot by ``version`` — time travel over the retained
+        manifest history, the Iceberg ``VERSION AS OF`` analog).
 
         Explicit schema: files written before a column-add lack the column
         and read as nulls (schema-on-read — parquet by-name resolution).
         """
+        if version is not None:
+            manifest = self.manifest_at(version)
         m = manifest or self.manifest()
         schema = self.table_schema([tuple(c) for c in m["dyn_schema"]])
         dirs = self._bucket_dirs(m, buckets)
         if not dirs:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*dirs)
+
+    def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Rows inserted or updated after ``from_version``, up to
+        ``to_version`` (default: latest) — the Iceberg incremental-scan
+        analog, driven purely by the per-row ``_last_lsn`` watermark
+        against the two manifests' checkpoint LSNs, so the plan is the
+        target scan plus one pushed-down range filter (parquet row-group
+        stats prune untouched files). Deletes are not representable in a
+        CoW snapshot diff without tombstones; consume the change log
+        itself for delete-aware downstreams.
+        """
+        lo = int(self.manifest_at(from_version)["last_lsn"])
+        m2 = (self.manifest_at(to_version) if to_version is not None
+              else self.manifest())
+        hi = int(m2["last_lsn"])
+        if hi < lo:
+            raise ValueError(f"to_version {to_version} precedes from_version "
+                             f"{from_version} (lsn {hi} < {lo})")
+        df = self.read(manifest=m2)
+        return df.where((F.col("_last_lsn") > lo) & (F.col("_last_lsn") <= hi))
 
     # --- commit ----------------------------------------------------------------
 

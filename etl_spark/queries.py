@@ -127,6 +127,24 @@ def q_cdc_replay_snapshot(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_time_travel_incremental(spark, sf_dir) -> DataFrame:
+    """K6+: snapshot time travel + incremental scan (Iceberg
+    VERSION AS OF / incremental-read analogs over the manifest history;
+    reference versioning ancestor: geoinfo load_id, main.py:49-57).
+    Replays the log in 4000-lsn batches, then returns exactly the rows
+    inserted/updated AFTER snapshot version 2 — one pushed-down
+    _last_lsn range filter over the latest snapshot."""
+    _prep(spark)
+    from .cdc.runner import replay
+
+    t = _session_table(spark)
+    replay(spark, _events_as_cdc_log(spark, sf_dir), t, batch_size=4000)
+    return t.read_incremental(from_version=2).select(
+        "repo", "path", "commit", "content_sha256",
+        (F.col("_last_lsn") - 1).alias("last_lsn"),
+    )
+
+
 def q_predicate_delete(spark, sf_dir) -> DataFrame:
     """K7: DELETE WHERE <pred> as a bucket-scoped CoW rewrite (reference:
     es_deleting_old_writes/main.py:25-57 delete-by-query retention).
@@ -591,6 +609,7 @@ QUERIES = {
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "cdc_replay_snapshot": q_cdc_replay_snapshot,
     "predicate_delete": q_predicate_delete,
+    "time_travel_incremental": q_time_travel_incremental,
     "touch_first_last_seen": q_touch_first_last_seen,
     "coalesce_content_merge": q_coalesce_content_merge,
     "cidr_longest_match": q_cidr_longest_match,
