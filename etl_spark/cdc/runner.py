@@ -136,6 +136,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--arrow-udfs", action="store_true",
                     help="run sha256/lang-norm as Arrow pandas UDFs instead of "
                          "the (faster, equal-output) JVM-native expressions")
+    ap.add_argument("--track-seen", action="store_true",
+                    help="maintain first_seen/last_seen touch columns "
+                         "(K3 column-subset update, policies.py)")
+    ap.add_argument("--coalesce-cols", default="",
+                    help="comma-separated columns where NULL in an update "
+                         "means keep-previous (partial-update CDC)")
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="disable the prepare(b+1)-under-write(b) pipeline "
+                         "(debugging; the default overlaps batches)")
     ap.add_argument("--warmup", action="store_true",
                     help="run a tiny throwaway replay first so the reported "
                          "throughput is steady-state (JIT/codegen warm)")
@@ -179,6 +188,11 @@ def main(argv: list[str] | None = None) -> None:
         salted_dedup=args.salted_dedup,
         use_arrow_udfs=args.arrow_udfs,
         log=True,
+        policies=MergePolicies(
+            coalesce_cols=tuple(c for c in args.coalesce_cols.split(",") if c),
+            track_seen=args.track_seen,
+        ),
+        pipelined=not args.no_pipeline,
     )
     secs = _time.time() - t0
     total = sum(bm.events_seen for bm in metrics)
