@@ -69,6 +69,13 @@ class SnapshotTable:
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "metrics"), exist_ok=True)
+        # The bucket count is a COMMITTED property of an existing table:
+        # opening with a different value would route this session's merges
+        # into the wrong bucket dirs (silent key duplication across
+        # buckets). Adopt the manifest's value; the constructor argument
+        # only parameterizes NEW tables.
+        if self.version() > 0:
+            self.n_buckets = int(self.manifest()["n_buckets"])
 
     # --- manifest / pointer ------------------------------------------------
 
