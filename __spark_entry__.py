@@ -123,6 +123,37 @@ def oracle_sql() -> dict[str, str]:
                    lsn AS last_lsn
             FROM last WHERE rn = 1 AND op <> 'D' AND lsn > 5000
         """,
+        "changelog_feed": """
+            WITH log AS (
+              SELECT event_id AS lsn,
+                     CAST(floor(event_id / 4000) AS BIGINT) AS batch,
+                     CASE WHEN event_type = 'error' THEN 'D'
+                          WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+                     'u' || CAST(user_id % 50 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     CASE WHEN event_type <> 'error' THEN props END AS content
+              FROM events),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path, batch ORDER BY lsn DESC) AS rn
+              FROM log),
+            winners AS (
+              SELECT repo, path, batch, op, lsn, sha256(content) AS sha
+              FROM w WHERE rn = 1),
+            seq AS (
+              SELECT *, lag(op) OVER k AS prev_op, lag(lsn) OVER k AS prev_lsn,
+                     lag(sha) OVER k AS prev_sha
+              FROM winners WINDOW k AS (PARTITION BY repo, path ORDER BY lsn))
+            SELECT repo, path,
+                   CASE WHEN op = 'D' THEN 'delete'
+                        WHEN prev_op IS NULL OR prev_op = 'D' THEN 'insert'
+                        ELSE 'update' END AS change_type,
+                   CAST(batch + 1 AS INT) AS commit_version,
+                   CASE WHEN op = 'D' THEN prev_sha ELSE sha END AS content_sha256,
+                   CASE WHEN op = 'D' THEN prev_lsn ELSE lsn END AS last_lsn
+            FROM seq
+            WHERE NOT (op = 'D' AND (prev_op IS NULL OR prev_op = 'D'))
+        """,
         "touch_first_last_seen": """
             WITH log AS (
               SELECT event_id AS lsn,

@@ -1,0 +1,153 @@
+"""Table maintenance: small-file compaction, orphan-file vacuum, bucket
+evolution. The background jobs a CoW lake table needs to stay healthy
+under continuous micro-batch ingest (Iceberg analogs:
+``rewrite_data_files``, ``remove_orphan_files``, partition-spec
+evolution). Reference retention ancestor: geoinfo/main.py:482-486
+(``load_id <= max - k`` cleanup as its own job).
+
+All three are **commits like any other**: data files land first, the
+manifest + pointer swap last, so a crash mid-maintenance leaves the
+previous version live and the changelog reader sees maintenance commits
+as empty diffs (rows carry identical ``_last_lsn``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+
+from .dedup import bucket_expr
+from .lake import SnapshotTable
+
+
+def bucket_file_stats(table: SnapshotTable) -> dict[int, int]:
+    """Parquet file count per live bucket (driver-side listing of the
+    manifest's bucket dirs — metadata only, no Spark job)."""
+    m = table.manifest()
+    out: dict[int, int] = {}
+    for b, rel in m["files"].items():
+        d = os.path.join(table.root, rel)
+        out[int(b)] = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    table: SnapshotTable,
+    max_files_per_bucket: int = 1,
+) -> dict:
+    """Rewrite every bucket holding more than ``max_files_per_bucket``
+    parquet files into one file per bucket; untouched buckets carry
+    forward by manifest reference (bucket-scoped CoW, same shape as the
+    merge). ``last_lsn`` and the row set are unchanged — compaction is
+    changelog-invisible and does not affect replay/resume.
+
+    Why it's needed: each merge's kept-branch preserves the target's
+    input splits, so a bucket rewritten across many batches accumulates
+    one file per carrying task — at micro-batch cadence the per-bucket
+    file count (and with it scan/open overhead) grows without bound.
+    """
+    t0 = time.time()
+    manifest = table.manifest()
+    touched = sorted(
+        b for b, n in bucket_file_stats(table).items() if n > max_files_per_bucket
+    )
+    metrics: dict = {"op": "compact", "buckets_touched": len(touched)}
+    if not touched:
+        metrics["wall_secs"] = round(time.time() - t0, 3)
+        return metrics
+
+    rows = (
+        table.read(buckets=touched, manifest=manifest)
+        .withColumn("_bucket", bucket_expr(table.n_buckets))
+        # one task per bucket -> exactly one output file per bucket dir
+        .repartition(len(touched), "_bucket")
+    )
+    version = table.version() + 1
+    out_dir = table.new_data_dir(version)
+    rows.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+    metrics["wall_secs"] = round(time.time() - t0, 3)
+    table.commit(
+        version,
+        out_dir,
+        touched,
+        int(manifest["last_lsn"]),
+        [tuple(c) for c in manifest["dyn_schema"]],
+        metrics,
+    )
+    metrics["version"] = version
+    return metrics
+
+
+def remove_orphans(table: SnapshotTable, min_age_secs: float = 3600.0) -> list[str]:
+    """Delete data version-dirs that belong to NO committed manifest —
+    the debris of a writer that crashed between the data write and the
+    manifest/pointer swap. Dirs newer than ``min_age_secs`` are kept:
+    they may be an in-flight commit (the same grace Iceberg's
+    remove_orphan_files applies). Committed history is never touched —
+    retention of old versions is ``expire_snapshots``' job."""
+    removed: list[str] = []
+    data_root = os.path.join(table.root, "data")
+    now = time.time()
+    for entry in sorted(os.listdir(data_root)):
+        if not entry.startswith("v"):
+            continue
+        has_manifest = os.path.exists(
+            os.path.join(table.root, "manifests", f"{entry}.json")
+        )
+        if has_manifest:
+            continue
+        path = os.path.join(data_root, entry)
+        if now - os.path.getmtime(path) < min_age_secs:
+            continue
+        shutil.rmtree(path)
+        removed.append(entry)
+    return removed
+
+
+def rebucket(spark: SparkSession, table: SnapshotTable, new_n_buckets: int) -> dict:
+    """Evolve the table's bucket count (partition-spec evolution): full
+    rewrite of the live snapshot into ``new_n_buckets`` dirs, committed
+    atomically; subsequent merges route by the new count (the committed
+    value is adopted on open — lake.py constructor). Row set and
+    ``last_lsn`` unchanged.
+
+    At 100 TB this is the skew/parallelism relief valve: a table that
+    outgrew its bucket count (buckets >> maxPartitionBytes) rewrites
+    once instead of suffering giant merge tasks forever. The rewrite is
+    one shuffle on the new bucket id, linear in table size.
+    """
+    if new_n_buckets < 1:
+        raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+    t0 = time.time()
+    manifest = table.manifest()
+    rows = (
+        table.read(manifest=manifest)
+        .withColumn("_bucket", bucket_expr(new_n_buckets))
+        .repartition(new_n_buckets, "_bucket")
+    )
+    version = table.version() + 1
+    out_dir = table.new_data_dir(version)
+    rows.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+    old_n = table.n_buckets
+    table.n_buckets = new_n_buckets  # manifest records the new count
+    metrics = {
+        "op": "rebucket",
+        "from_buckets": old_n,
+        "to_buckets": new_n_buckets,
+        "wall_secs": round(time.time() - t0, 3),
+    }
+    table.commit(
+        version,
+        out_dir,
+        [],
+        int(manifest["last_lsn"]),
+        [tuple(c) for c in manifest["dyn_schema"]],
+        metrics,
+        full_rewrite=True,
+    )
+    metrics["version"] = version
+    return metrics

@@ -1,0 +1,150 @@
+"""Changelog (CDF) + maintenance (compact / vacuum / rebucket) suites.
+
+Invariants:
+- the changelog between v0 and latest, applied in order, reconstructs
+  the final snapshot (feed-completeness);
+- predicate deletes surface as `delete` rows; maintenance commits
+  (compact, rebucket) emit NO changelog rows and leave the row set and
+  checkpoint untouched;
+- compaction actually reduces per-bucket file counts; vacuum removes
+  only uncommitted debris; rebucket changes routing but not state.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.changelog import read_changelog
+from etl_spark.cdc.delete import delete_where
+from etl_spark.cdc.gen import GenConfig, generate_events
+from etl_spark.cdc.lake import SnapshotTable, SnapshotExpiredError
+from etl_spark.cdc.maintain import bucket_file_stats, compact, rebucket, remove_orphans
+from etl_spark.cdc.runner import replay
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    cfg = GenConfig(n_events=3000, n_keys=140, hot_frac=0.3, hot_keys=10, seed=23)
+    df = generate_events(spark, cfg).cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture()
+def replayed(spark, log, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    replay(spark, log, t, batch_size=700)
+    return t
+
+
+def _state(table):
+    return {
+        (r["repo"], r["path"]): (r["content_sha256"], r["_last_lsn"])
+        for r in table.read().collect()
+    }
+
+
+def _apply_feed(rows):
+    """Fold changelog rows (ordered by commit version) into a state dict."""
+    state = {}
+    for r in sorted(rows, key=lambda r: r["_commit_version"]):
+        k = (r["repo"], r["path"])
+        if r["_change_type"] == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = (r["content_sha256"], r["_last_lsn"])
+    return state
+
+
+def test_changelog_reconstructs_snapshot(spark, replayed):
+    feed = read_changelog(replayed, from_version=0).collect()
+    assert _apply_feed(feed) == _state(replayed)
+    # every transition is classified
+    assert {r["_change_type"] for r in feed} <= {"insert", "update", "delete"}
+    # version 1 starts from empty: inserts only
+    assert {r["_change_type"] for r in feed if r["_commit_version"] == 1} == {"insert"}
+
+
+def test_changelog_range_and_empty(spark, replayed):
+    v = replayed.version()
+    assert read_changelog(replayed, from_version=v).count() == 0
+    head = read_changelog(replayed, 0, to_version=2).collect()
+    tail = read_changelog(replayed, 2).collect()
+    full = read_changelog(replayed, 0).collect()
+    assert len(head) + len(tail) == len(full)
+    with pytest.raises(ValueError):
+        read_changelog(replayed, 3, to_version=1)
+
+
+def test_changelog_sees_predicate_delete(spark, replayed):
+    v = replayed.version()
+    before = _state(replayed)
+    cut = sorted(lsn for _, lsn in before.values())[len(before) // 3]
+    doomed = {k for k, (_, lsn) in before.items() if lsn <= cut}
+    assert doomed
+    delete_where(spark, replayed, F.col("_last_lsn") <= cut)
+    feed = read_changelog(replayed, from_version=v).collect()
+    assert {(r["repo"], r["path"]) for r in feed} == doomed
+    assert all(r["_change_type"] == "delete" for r in feed)
+    # pre-image payload: the deleted row's sha/lsn
+    got = {(r["repo"], r["path"]): (r["content_sha256"], r["_last_lsn"]) for r in feed}
+    assert got == {k: before[k] for k in doomed}
+
+
+def test_changelog_expired_snapshot_raises(spark, replayed):
+    replayed.expire_snapshots(keep_last=1)
+    with pytest.raises(SnapshotExpiredError):
+        read_changelog(replayed, from_version=0).collect()
+
+
+def test_compact_reduces_files_keeps_state(spark, replayed):
+    before = _state(replayed)
+    v, ckpt = replayed.version(), replayed.last_lsn()
+    stats = bucket_file_stats(replayed)
+    assert max(stats.values()) > 1, "fixture must accumulate small files"
+    m = compact(spark, replayed, max_files_per_bucket=1)
+    assert m["buckets_touched"] > 0 and replayed.version() == v + 1
+    assert replayed.last_lsn() == ckpt
+    assert max(bucket_file_stats(replayed).values()) == 1
+    assert _state(replayed) == before
+    # maintenance is changelog-invisible
+    assert read_changelog(replayed, from_version=v).count() == 0
+    # idempotent: nothing left to compact
+    assert compact(spark, replayed, max_files_per_bucket=1)["buckets_touched"] == 0
+
+
+def test_vacuum_removes_only_uncommitted_debris(spark, replayed):
+    committed = set(os.listdir(os.path.join(replayed.root, "data")))
+    debris = os.path.join(replayed.root, "data", f"v{replayed.version() + 7}")
+    os.makedirs(os.path.join(debris, "_bucket=0"))
+    with open(os.path.join(debris, "_bucket=0", "part-crashed.parquet"), "w") as f:
+        f.write("x")
+    # too fresh: grace period protects a possibly in-flight commit
+    assert remove_orphans(replayed, min_age_secs=3600) == []
+    old = time.time() - 7200
+    os.utime(debris, (old, old))
+    assert remove_orphans(replayed, min_age_secs=3600) == [os.path.basename(debris)]
+    assert set(os.listdir(os.path.join(replayed.root, "data"))) == committed
+
+
+def test_rebucket_evolves_routing_keeps_state(spark, log, replayed):
+    before = _state(replayed)
+    v, ckpt = replayed.version(), replayed.last_lsn()
+    m = rebucket(spark, replayed, 17)
+    assert m["from_buckets"] == 8 and replayed.n_buckets == 17
+    assert replayed.last_lsn() == ckpt
+    assert _state(replayed) == before
+    assert read_changelog(replayed, from_version=v).count() == 0
+    # the committed count is adopted on re-open, and further merges work
+    reopened = SnapshotTable(spark, replayed.root, n_buckets=8)
+    assert reopened.n_buckets == 17
+    extra = log.select(
+        (F.col("lsn") + 3000).alias("lsn"), "op", "repo", "path", "commit",
+        "lang", "content", "ts", "extra", "schema_change",
+    ).where(F.col("op") != "S")
+    replay(spark, extra, reopened, batch_size=2000)
+    assert reopened.last_lsn() == ckpt + 3000
+    # all rows route into the evolved bucket layout
+    assert max(int(b) for b in reopened.manifest()["files"]) < 17
