@@ -154,6 +154,32 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE NOT (op = 'D' AND (prev_op IS NULL OR prev_op = 'D'))
         """,
+        "scd2_history": """
+            WITH log AS (
+              SELECT event_id AS lsn,
+                     CAST(floor(event_id / 4000) AS BIGINT) AS batch,
+                     CASE WHEN event_type = 'error' THEN 'D'
+                          WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+                     'u' || CAST(user_id % 50 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     md5(CAST(event_id AS VARCHAR)) AS commit,
+                     CASE WHEN event_type <> 'error' THEN props END AS content
+              FROM events),
+            w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path, batch ORDER BY lsn DESC) AS rn
+              FROM log),
+            winners AS (
+              SELECT repo, path, op, lsn, commit, content FROM w WHERE rn = 1),
+            seq AS (
+              SELECT *, lead(lsn) OVER (
+                PARTITION BY repo, path ORDER BY lsn) AS nxt
+              FROM winners)
+            SELECT repo, path, commit, sha256(content) AS content_sha256,
+                   lsn AS valid_from, nxt AS valid_to,
+                   (nxt IS NULL) AS is_current
+            FROM seq WHERE op <> 'D'
+        """,
         "touch_first_last_seen": """
             WITH log AS (
               SELECT event_id AS lsn,

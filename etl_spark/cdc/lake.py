@@ -62,10 +62,19 @@ def _atomic_write(path: str, payload: str) -> None:
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = DEFAULT_BUCKETS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = DEFAULT_BUCKETS,
+        base_fields: list[T.StructField] | None = None,
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
+        # fixed columns of this table's row shape; the default is the CDC
+        # mirror shape, SCD2 history tables pass their own (scd2.py)
+        self.base_fields = list(base_fields) if base_fields else list(BASE_TABLE_FIELDS)
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "metrics"), exist_ok=True)
@@ -111,7 +120,7 @@ class SnapshotTable:
 
     def table_schema(self, dyn: list[tuple[str, str]] | None = None) -> T.StructType:
         dyn = self.dyn_schema() if dyn is None else dyn
-        fields = list(BASE_TABLE_FIELDS)
+        fields = list(self.base_fields)
         for name, ddl in dyn:
             fields.append(T.StructField(name, T._parse_datatype_string(ddl)))  # noqa: SLF001
         return T.StructType(fields)

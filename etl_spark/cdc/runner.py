@@ -47,6 +47,7 @@ def replay(
     log: bool = False,
     policies: MergePolicies = NO_POLICIES,
     pipelined: bool = True,
+    applier=None,
 ) -> list[BatchMetrics]:
     """Replay the whole log (or the next ``max_batches``) into the table.
 
@@ -63,6 +64,10 @@ def replay(
     from concurrent.futures import ThreadPoolExecutor
 
     from .merge import apply_prepared, prepare_batch
+
+    # the apply phase is pluggable: the default CoW MERGE keeps one
+    # current row per key; scd2.apply_scd2_prepared keeps full history
+    applier = applier or apply_prepared
 
     bounds = events.agg(
         F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
@@ -99,7 +104,7 @@ def replay(
                     prepare_batch, spark, table, nxt_batch, batch_id + 1,
                     nxt_from, nxt_to, lsn_to, policies=policies,
                 )
-            bm = apply_prepared(
+            bm = applier(
                 spark, table, prep,
                 salted_dedup=salted_dedup, use_arrow_udfs=use_arrow_udfs,
                 policies=policies,

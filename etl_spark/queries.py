@@ -212,6 +212,30 @@ def q_changelog_feed(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_scd2_history(spark, sf_dir) -> DataFrame:
+    """SCD Type 2 apply mode: full version history with validity
+    intervals instead of replace-in-place (etl_spark/cdc/scd2.py; the
+    reference's first_seen/last_seen touch columns are the degenerate
+    form, hive_to_dwh/load.py:25-26). Oracle: per-(batch,key) winners
+    with lead(lsn) intervals."""
+    _prep(spark)
+    from .cdc.scd2 import replay_scd2, scd2_table
+
+    import atexit
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="etl_spark_scd2_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = scd2_table(spark, root)
+    replay_scd2(spark, _events_as_cdc_log(spark, sf_dir), t, batch_size=4000)
+    return t.read().select(
+        "repo", "path", "commit", "content_sha256",
+        (F.col("valid_from") - 1).alias("valid_from"),
+        (F.col("valid_to") - 1).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
 def q_touch_first_last_seen(spark, sf_dir) -> DataFrame:
     """K3 touch-columns: first_seen/last_seen maintained across merges by
     min/max policy (reference: hive_to_dwh/load.py:25-26 'update only
@@ -661,6 +685,7 @@ QUERIES = {
     "predicate_delete": q_predicate_delete,
     "time_travel_incremental": q_time_travel_incremental,
     "changelog_feed": q_changelog_feed,
+    "scd2_history": q_scd2_history,
     "touch_first_last_seen": q_touch_first_last_seen,
     "coalesce_content_merge": q_coalesce_content_merge,
     "cidr_longest_match": q_cidr_longest_match,
