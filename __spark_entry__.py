@@ -198,6 +198,32 @@ def oracle_sql() -> dict[str, str]:
                    l.lsn AS last_lsn
             FROM last l JOIN seen s USING (repo, path) WHERE l.rn = 1
         """,
+        "asof_join": """
+            SELECT c.event_id, c.user_id, p.event_id AS purchase_event_id,
+                   round(p.value, 6) AS last_purchase_value
+            FROM (SELECT event_id, user_id FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT event_id, user_id, value FROM events
+                            WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.event_id >= p.event_id
+        """,
+        "sessionize": """
+            WITH t AS (
+              SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS pus
+              FROM events),
+            s AS (
+              SELECT *, sum(CASE WHEN pus IS NULL OR us - pus > 43200000000
+                                 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM t)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
         "coalesce_content_merge": """
             WITH log AS (
               SELECT event_id AS lsn,

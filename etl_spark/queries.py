@@ -283,6 +283,37 @@ def q_coalesce_content_merge(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_asof_join(spark, sf_dir) -> DataFrame:
+    """Backward as-of join (union+window shape — single shuffle, no
+    range explosion; operators/temporal.py): each click picks the
+    user's most recent purchase at-or-before it. Oracle: DuckDB native
+    ASOF LEFT JOIN."""
+    _prep(spark)
+    from .operators.temporal import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return asof_join(
+        clicks, purchases,
+        on=["user_id"], left_order="event_id", right_order="event_id",
+        values={
+            "purchase_event_id": "event_id",
+            "last_purchase_value": F.round("value", 6),
+        },
+    )
+
+
+def q_sessionize(spark, sf_dir) -> DataFrame:
+    """Gaps-and-islands sessionization (12h inactivity gap), exact
+    microsecond arithmetic on both engines (operators/temporal.py)."""
+    _prep(spark)
+    from .operators.temporal import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    return sessionize(ev, ["user_id"], "ts", gap_secs=43200, tiebreak="event_id")
+
+
 def q_group_max(spark, sf_dir) -> DataFrame:
     """A1/S2: hash aggregate with max/count/sum (hive group-by scan)."""
     _prep(spark)
@@ -686,6 +717,8 @@ QUERIES = {
     "time_travel_incremental": q_time_travel_incremental,
     "changelog_feed": q_changelog_feed,
     "scd2_history": q_scd2_history,
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
     "touch_first_last_seen": q_touch_first_last_seen,
     "coalesce_content_merge": q_coalesce_content_merge,
     "cidr_longest_match": q_cidr_longest_match,
