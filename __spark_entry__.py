@@ -459,6 +459,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT probe_id, neighbor_id, cos FROM scored
             QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) <= 5
         """,
+        "embedding_neardup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+        """,
         "multimodal_features": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS n_bytes,

@@ -24,8 +24,10 @@ from .util import fan_out
 
 
 def _dot(a, b):
+    # cast each element BEFORE multiplying: float*float rounds to float
+    # first, while the oracle (CAST(... AS DOUBLE[])) multiplies doubles
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -34,7 +36,7 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -286,6 +288,56 @@ def ivf_topk(
         )
     )
     return _topk_per_probe(scored, k)
+
+
+def embedding_neardup_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT near-duplicate pairs (cosine >= threshold) — the
+    verification baseline for the LSH path, and the fallback when
+    recall must be 1.0.
+
+    All-pairs is inherently O(n^2); what scale design controls is the
+    SHAPE of that quadratic work. A naive ``a JOIN b ON a.id < b.id``
+    has no equi-key, so Spark plans a broadcast-nested-loop with one
+    side replicated everywhere. Instead: hash every vector into one of
+    ``n_blocks`` blocks and enumerate the B(B+1)/2 block *cells*; each
+    cell is an equi-join of two block slices, so the quadratic work is
+    sliced into uniformly-sized, independently-scheduled tasks (the
+    classic block-grid / "triangle" partitioning of all-pairs joins).
+    n_blocks tunes task granularity: cells ~ (n/B)^2 comparisons.
+    """
+    spark = df.sparkSession
+    v = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    cells = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    a = v.select(F.col("id").alias("ida"), F.col("v").alias("va"),
+                 F.col("blk").alias("bi"))
+    b = v.select(F.col("id").alias("idb"), F.col("v").alias("vb"),
+                 F.col("blk").alias("bj"))
+    pairs = (
+        F.broadcast(cells)
+        .join(a, "bi")
+        .join(b, "bj")
+        .where(
+            (F.col("bi") < F.col("bj"))
+            | ((F.col("bi") == F.col("bj")) & (F.col("ida") < F.col("idb")))
+        )
+    )
+    return pairs.select(
+        F.least("ida", "idb").alias("id_a"),
+        F.greatest("ida", "idb").alias("id_b"),
+        cosine_col(F.col("va"), F.col("vb")).alias("cos"),
+    ).where(F.col("cos") >= threshold)
 
 
 def embedding_neardup_pairs(

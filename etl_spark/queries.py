@@ -698,6 +698,14 @@ def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.3, n_planes=6, n_tables=8)
 
 
+def q_embedding_neardup_exact(spark, sf_dir) -> DataFrame:
+    """Exact cosine>=t pairs via block-grid all-pairs (equi-join cells,
+    no nested-loop join) — the LSH path's recall-1.0 baseline."""
+    _prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_exact(emb, threshold=0.3, n_blocks=8)
+
+
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing: binary payload -> mapInPandas feature extract.
     (decode stubbed deterministically — see operators/multimodal.py)."""
@@ -751,5 +759,6 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
     "multimodal_features": q_multimodal_features,
 }

@@ -160,6 +160,25 @@ def test_embedding_neardup_symmetric_and_thresholded(spark):
         assert r["cos"] >= 0.2
 
 
+def test_embedding_neardup_exact_is_ground_truth(spark):
+    """The block-grid exact pairs are complete (superset of any LSH
+    run's pairs at the same threshold) and planned as equi-joins, not a
+    nested-loop/cartesian join."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    exact = similarity.embedding_neardup_exact(emb, threshold=0.2, n_blocks=4)
+    plan = exact._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        exact._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    ex = {(r["id_a"], r["id_b"]): r["cos"] for r in exact.collect()}
+    # every unordered pair appears at most once, ordered
+    assert all(a < b for a, b in ex)
+    lsh = similarity.embedding_neardup_pairs(emb, threshold=0.2, n_planes=4).collect()
+    for r in lsh:
+        key = (r["id_a"], r["id_b"])
+        assert key in ex and abs(ex[key] - r["cos"]) < 1e-9
+
+
 # --------------------------------------------------------------------------
 # rolling fingerprint
 # --------------------------------------------------------------------------
