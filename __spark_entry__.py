@@ -154,6 +154,22 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE NOT (op = 'D' AND (prev_op IS NULL OR prev_op = 'D'))
         """,
+        "mirror_sync": """
+            WITH log AS (
+              SELECT event_id AS lsn,
+                     CASE WHEN event_type = 'error' THEN 'D'
+                          WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+                     'u' || CAST(user_id % 50 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     md5(CAST(event_id AS VARCHAR)) AS commit,
+                     CASE WHEN event_type <> 'error' THEN props END AS content
+              FROM events),
+            last AS (
+              SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+              FROM log)
+            SELECT repo, path, commit, sha256(content) AS content_sha256
+            FROM last WHERE rn = 1 AND op <> 'D'
+        """,
         "scd2_history": """
             WITH log AS (
               SELECT event_id AS lsn,

@@ -236,6 +236,20 @@ def q_scd2_history(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_mirror_sync(spark, sf_dir) -> DataFrame:
+    """Changelog-driven downstream replication (cdc/replicate.py): a
+    mirror table consumes the source's per-commit diffs (O(changes)
+    transfer) and must equal the source's live rows. Oracle: the same
+    last-writer-wins state as the snapshot query."""
+    _prep(spark)
+    from .cdc.replicate import sync
+
+    src = _shared_replay(spark, sf_dir)
+    mir = _session_table(spark, n_buckets=4)
+    sync(spark, src, mir)
+    return mir.read().select("repo", "path", "commit", "content_sha256")
+
+
 def q_touch_first_last_seen(spark, sf_dir) -> DataFrame:
     """K3 touch-columns: first_seen/last_seen maintained across merges by
     min/max policy (reference: hive_to_dwh/load.py:25-26 'update only
@@ -724,6 +738,7 @@ QUERIES = {
     "predicate_delete": q_predicate_delete,
     "time_travel_incremental": q_time_travel_incremental,
     "changelog_feed": q_changelog_feed,
+    "mirror_sync": q_mirror_sync,
     "scd2_history": q_scd2_history,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
