@@ -290,6 +290,42 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_doc_id
             FROM documents GROUP BY lang
         """,
+        "merge_into_snapshot": """
+            WITH sp AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS s
+                        FROM events),
+            r1 AS (
+              SELECT user_id, event_id, props,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_id <= (SELECT s FROM sp)),
+            s1 AS (SELECT user_id, event_id, props FROM r1 WHERE rn = 1),
+            r2 AS (
+              SELECT user_id, event_id, props, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_id > (SELECT s FROM sp)),
+            s2 AS (SELECT user_id, event_id, props, event_type
+                   FROM r2 WHERE rn = 1),
+            fin AS (
+              SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+                     CASE WHEN s2.user_id IS NOT NULL
+                          THEN s2.event_id ELSE s1.event_id END AS event_id,
+                     CASE WHEN s2.user_id IS NOT NULL
+                          THEN s2.props ELSE s1.props END AS props,
+                     s2.event_type AS e2
+              FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id)
+            SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS repo,
+                   'p' || CAST(user_id AS VARCHAR) AS path,
+                   md5(CAST(event_id AS VARCHAR)) AS commit,
+                   sha256(props) AS content_sha256
+            FROM fin WHERE e2 IS DISTINCT FROM 'error'
+        """,
+        "jsonl_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_text_chars,
+                   min(sha256(text)) AS min_text_sha
+            FROM documents GROUP BY lang
+        """,
         "scalar_conversions": """
             SELECT event_id,
                    epoch_ms(CAST(floor(epoch(ts)) * 1000

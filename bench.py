@@ -69,6 +69,8 @@ HEADLINE = [
     "cidr_longest_match",  # J8 prefix fan-out containment join
     "scalar_conversions",  # F4/F5/F7/F8 scalar surface
     "csv_roundtrip",       # K8/S11 csv write+read
+    "asof_join",           # temporal as-of (union+window shape)
+    "sessionize",          # gaps-and-islands sessions
 ]
 
 

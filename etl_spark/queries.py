@@ -297,6 +297,39 @@ def q_coalesce_content_merge(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_merge_into_snapshot(spark, sf_dir) -> DataFrame:
+    """K1/K2 snapshot-shaped MERGE INTO (cdc/merge_into.py): the
+    reference's per-connector upload loops hand the sink a full keyed
+    snapshot, not an ordered log (replication_otrs_to_dwh/postgresql/
+    upload.py:35-308). Two successive per-key snapshots are merged; the
+    second carries a delete flag — final state is full-row LWW with
+    flagged keys removed."""
+    _prep(spark)
+    from .cdc.merge_into import merge_into
+
+    ev = table(spark, sf_dir, "events")
+    # one driver-side scalar (a watermark read, not a data collect)
+    split = int(ev.agg(F.floor(F.max("event_id") / 2)).first()[0])
+
+    def snap(pred):
+        last = dedup_last_writer_slim(ev.where(pred), ["user_id"], "event_id")
+        return last.select(
+            F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+            F.md5(F.col("event_id").cast("string")).alias("commit"),
+            F.col("props").alias("content"),
+            "event_type",
+        )
+
+    t = _session_table(spark)
+    merge_into(spark, t, snap(F.col("event_id") <= split))
+    merge_into(
+        spark, t, snap(F.col("event_id") > split),
+        delete_when=F.col("event_type") == "error",
+    )
+    return t.read().select("repo", "path", "commit", "content_sha256")
+
+
 def q_asof_join(spark, sf_dir) -> DataFrame:
     """Backward as-of join (union+window shape — single shuffle, no
     range explosion; operators/temporal.py): each click picks the
@@ -590,6 +623,29 @@ def q_csv_roundtrip(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_jsonl_roundtrip(spark, sf_dir) -> DataFrame:
+    """JSON-lines write + schema'd read-back + aggregate (the reference
+    moves row dicts as JSON between every connector pair; the engine's
+    version is a real codec round trip, oracle-checked on values that
+    exercise string escaping via the text column)."""
+    import atexit
+    import tempfile
+
+    from .sources.readers import read_json
+
+    _prep(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = tempfile.mkdtemp(prefix="etl_spark_jsonl_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    docs.write.mode("overwrite").json(out)
+    back = read_json(spark, out, schema="doc_id bigint, lang string, text string")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_text_chars"),
+        F.min(F.sha2("text", 256)).alias("min_text_sha"),
+    )
+
+
 def q_scalar_conversions(spark, sf_dir) -> DataFrame:
     """F4/F5/F7/F8 scalar conversion surface, all JVM expressions:
     - epoch-millis -> timestamp (thehive insert main_insert.py:111-112)
@@ -744,8 +800,10 @@ QUERIES = {
     "sessionize": q_sessionize,
     "touch_first_last_seen": q_touch_first_last_seen,
     "coalesce_content_merge": q_coalesce_content_merge,
+    "merge_into_snapshot": q_merge_into_snapshot,
     "cidr_longest_match": q_cidr_longest_match,
     "csv_roundtrip": q_csv_roundtrip,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "scalar_conversions": q_scalar_conversions,
     "group_max": q_group_max,
     "union_distinct": q_union_distinct,

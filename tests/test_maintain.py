@@ -58,6 +58,20 @@ def _apply_feed(rows):
     return state
 
 
+def test_changelog_diffs_are_bucket_scoped():
+    """The per-version diff scans only buckets whose manifest reference
+    changed — the property that keeps CDF cost O(update footprint)."""
+    from etl_spark.cdc.changelog import _changed_buckets
+
+    m_old = {"files": {"0": "data/v1/_bucket=0", "1": "data/v1/_bucket=1",
+                       "3": "data/v1/_bucket=3"}}
+    m_new = {"files": {"0": "data/v1/_bucket=0",      # carried: not scanned
+                       "1": "data/v2/_bucket=1",      # rewritten
+                       "2": "data/v2/_bucket=2"}}     # new bucket
+    # 3 disappeared (all rows deleted) -> must be scanned for deletes
+    assert _changed_buckets(m_old, m_new) == [1, 2, 3]
+
+
 def test_changelog_reconstructs_snapshot(spark, replayed):
     feed = read_changelog(replayed, from_version=0).collect()
     assert _apply_feed(feed) == _state(replayed)
