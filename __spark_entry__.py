@@ -5,9 +5,11 @@ snapshot commit) replaying the sf0.001 events stream.
 queries()/oracle_sql(): one entry per operator family from SURVEY.md §2
 plus the training-data operators; oracles are exact DuckDB mirrors
 (floats rounded to 6 dp on both sides; ties broken by id columns).
-LSH/simhash/rolling-hash queries are deliberately rows-only (not
-SQL-expressible at reasonable effort) — their quality is asserted in
-tests/test_operators.py instead (e.g. LSH recall vs brute force).
+LSH/simhash queries are deliberately rows-only (xxhash64/md5 hash-family
+internals, not SQL-expressible at reasonable effort) — their quality is
+asserted in tests/test_operators.py instead (e.g. LSH recall vs brute
+force). The rolling-hash fingerprint IS fully oracle-checked: its
+Karp-Rabin arithmetic is replicated in pure DuckDB SQL.
 """
 
 from __future__ import annotations
@@ -527,7 +529,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height
             FROM documents
         """,
-        # minhash_lsh / simhash / rolling_fingerprint / ann_lsh_topk /
+        # Karp-Rabin winnowing fingerprint replicated in pure SQL: utf-8
+        # bytes via hex(encode(text)), window-8 polynomial hashes mod
+        # 2^61-1 in HUGEINT, min over windows — byte-equal to the
+        # pandas-UDF path (257^7 < 2^61-1, so per-term products need no
+        # intermediate reduction and int128 never overflows).
+        "rolling_fingerprint": """
+            WITH hx AS (
+              SELECT doc_id, text, upper(hex(encode(text))) AS h
+              FROM documents),
+            byt AS (
+              SELECT doc_id, text,
+                     [16*(strpos('0123456789ABCDEF', h[2*i-1])-1)
+                        + (strpos('0123456789ABCDEF', h[2*i])-1)
+                      FOR i IN range(1, CAST(len(h)/2 AS BIGINT) + 1)] AS b
+              FROM hx)
+            SELECT doc_id,
+              CASE
+                WHEN text IS NULL THEN NULL
+                WHEN len(b) = 0 THEN 0
+                WHEN len(b) < 8 THEN CAST(list_reduce(
+                    [CAST(x AS HUGEINT) FOR x IN b],
+                    (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT)
+                ELSE CAST(list_min(
+                    [(CAST(b[i] AS HUGEINT) * 74051159531521793
+                      + CAST(b[i+1] AS HUGEINT) * 288136807515649
+                      + CAST(b[i+2] AS HUGEINT) * 1121154893057
+                      + CAST(b[i+3] AS HUGEINT) * 4362470401
+                      + CAST(b[i+4] AS HUGEINT) * 16974593
+                      + CAST(b[i+5] AS HUGEINT) * 66049
+                      + CAST(b[i+6] AS HUGEINT) * 257
+                      + CAST(b[i+7] AS HUGEINT)) % 2305843009213693951
+                     FOR i IN range(1, len(b) - 6)]) AS BIGINT)
+              END AS rfp
+            FROM byt
+        """,
+        # minhash_lsh / simhash / ann_lsh_topk / ann_ivf_topk /
         # embedding_neardup: rows-only (hash-family internals not
         # reasonably SQL-expressible); verified in tests/test_operators.py.
     }

@@ -47,6 +47,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # log size for the flagship replay measurement (JVM-side generator)
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+# batches per scaling run = this divisor (1 = whole log in one batch);
+# per-batch fixed cost (conflict-count action + commit) is the main
+# non-scaling term, so the divisor is part of the measured protocol
+SCALE_BATCH_DIV = int(os.environ.get("SPARK_GRAFT_SCALE_BATCH_DIV", "2"))
 
 # headline suite: one per load-bearing operator family (SURVEY.md §2)
 HEADLINE = [
@@ -273,20 +277,26 @@ def run_scaling(pairs: list[tuple[int, int]], n_events: int, repeats: int = 3) -
             log_dir,
             n_files=64,
         )
+        # gen JVM down before any timed run (unpinned GC/background
+        # threads contend with the pinned measurement subprocesses)
+        spark.stop()
         all_cores = sorted({c for p in pairs for c in p})
         eps: dict[int, list[float]] = {c: [] for c in all_cores}
         secs: dict[int, list[float]] = {c: [] for c in all_cores}
-        hashes: dict[int, str] = {}
+        final_tables: dict[int, str] = {}
         for r in range(repeats):
             # interleave core counts so host-contention noise averages out
             for cores in all_cores:
                 tdir = os.path.join(work, f"table_{cores}_{r}")
                 res = _run_replay_subprocess(
-                    log_dir, tdir, cores, batch_size=max(n_events // 2, 1))
+                    log_dir, tdir, cores,
+                    batch_size=max(n_events // SCALE_BATCH_DIV, 1))
                 eps[cores].append(res["events_per_sec"])
                 secs[cores].append(res["secs"])
                 if r == repeats - 1:
-                    hashes[cores] = _table_state_hash(spark, tdir)
+                    final_tables[cores] = tdir
+        spark = get_spark("bench-scale-hash", master=f"local[{CPUS}]")
+        hashes = {c: _table_state_hash(spark, d) for c, d in final_tables.items()}
         med = {c: sorted(v)[len(v) // 2] for c, v in eps.items()}
         out_pairs = []
         for n_small, n_big in pairs:
@@ -468,19 +478,39 @@ def run_scaling_exec(n_events: int, repeats: int = 3,
             log_dir,
             n_files=64,
         )
+        # the 32-thread gen JVM must not coexist with the measured runs —
+        # its GC/background threads are unpinned and contend with the
+        # pinned worker cores
+        spark.stop()
+        final_tables: dict[int, str] = {}
         for r in range(repeats):
             for n in levels:  # interleaved across cluster sizes
-                _cluster("start", str(n), str(cores_per_worker), run_dir=run_dir)
                 try:
+                    # start inside the try: a failed start can still have
+                    # spawned JVMs, and stop() kills whatever has a pidfile.
+                    # One retry: worker JVMs on pinned cores can miss the
+                    # registration window right after a heavy gen job.
+                    try:
+                        _cluster("start", str(n), str(cores_per_worker),
+                                 run_dir=run_dir)
+                    except RuntimeError:
+                        _cluster("stop", run_dir=run_dir)
+                        time.sleep(10)
+                        _cluster("start", str(n), str(cores_per_worker),
+                                 run_dir=run_dir)
                     tdir = os.path.join(work, f"table_{n}_{r}")
                     res = _run_replay_standalone(
                         log_dir, tdir, n, cores_per_worker,
-                        batch_size=max(n_events // 2, 1), run_dir=run_dir)
+                        batch_size=max(n_events // SCALE_BATCH_DIV, 1),
+                        run_dir=run_dir)
                     eps[n].append(res["events_per_sec"])
                     if r == repeats - 1:
-                        hashes[n] = _table_state_hash(spark, tdir)
+                        final_tables[n] = tdir
                 finally:
                     _cluster("stop", run_dir=run_dir)
+        # determinism check after all timed runs, in a fresh session
+        spark = get_spark("bench-exec-hash", master=f"local[{CPUS}]")
+        hashes = {n: _table_state_hash(spark, d) for n, d in final_tables.items()}
         med = {n: sorted(v)[len(v) // 2] for n, v in eps.items()}
         out_pairs = [
             {
@@ -495,6 +525,7 @@ def run_scaling_exec(n_events: int, repeats: int = 3,
             "n_events": n_events,
             "repeats": repeats,
             "cores_per_worker": cores_per_worker,
+            "batch_div": SCALE_BATCH_DIV,
             "eps_runs": eps,
             "median_eps": med,
             "pairs": out_pairs,
@@ -502,48 +533,65 @@ def run_scaling_exec(n_events: int, repeats: int = 3,
             "state_hashes": hashes,
         }
         os.makedirs("BENCH", exist_ok=True)
+        # accumulate one entry per (cores_per_worker, batch_div) config so
+        # the report can show every measured topology, not just the latest
+        configs = _load_standalone_configs()
+        key = (cores_per_worker, SCALE_BATCH_DIV)
+        configs = [
+            c for c in configs
+            if (c["cores_per_worker"], c.get("batch_div", 2)) != key
+        ] + [result]
         with open("BENCH/standalone.json", "w") as f:
-            json.dump(result, f, indent=1)
+            json.dump({"configs": configs}, f, indent=1)
         return result
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _standalone_md_section() -> str:
-    """Render the multi-executor section from measured BENCH/standalone.json
-    (written by --scaling-exec); omit rather than hardcode when absent."""
+def _load_standalone_configs() -> list:
+    """BENCH/standalone.json holds a list of per-topology results under
+    "configs" (one per cores_per_worker x batch_div); a bare dict is the
+    pre-list single-config format."""
     try:
         with open("BENCH/standalone.json") as f:
             r = json.load(f)
     except (OSError, ValueError):
+        return []
+    return r["configs"] if "configs" in r else [r]
+
+
+def _standalone_md_section() -> str:
+    """Render the multi-executor section from measured BENCH/standalone.json
+    (written by --scaling-exec); omit rather than hardcode when absent."""
+    configs = _load_standalone_configs()
+    if not configs:
         return (
             "## Secondary evidence: true multi-executor topology\n\n"
             "Run `python bench.py --scaling-exec` to measure the same job "
             "at N and 4N pinned executor JVMs via spark-submit "
             "(`tools/standalone_cluster.sh` + `tools/submit_replay.sh`)."
         )
-    c = r["cores_per_worker"]
-    # json round-trip stringifies int keys
-    runs = {int(k): v for k, v in r["eps_runs"].items()}
-    med = {int(k): v for k, v in r["median_eps"].items()}
-    rows = [
-        f"| {n} executors x {c} cores | {n * c} | {med[n]:,.0f} | "
-        + ", ".join(f"{v:,.0f}" for v in runs[n]) + " |"
-        for n in sorted(med)
-    ]
-    pair_lines = [
-        f"| {p['small_execs']} -> {p['big_execs']} executors | "
-        f"{p['small_eps']:,.0f} | {p['big_eps']:,.0f} | **{p['efficiency']}** |"
-        for p in r["pairs"]
-    ]
-    return f"""## Secondary evidence: true multi-executor topology (spark-submit)
+    blocks = []
+    for r in configs:
+        c = r["cores_per_worker"]
+        # json round-trip stringifies int keys
+        runs = {int(k): v for k, v in r["eps_runs"].items()}
+        med = {int(k): v for k, v in r["median_eps"].items()}
+        rows = [
+            f"| {n} executors x {c} cores | {n * c} | {med[n]:,.0f} | "
+            + ", ".join(f"{v:,.0f}" for v in runs[n]) + " |"
+            for n in sorted(med)
+        ]
+        pair_lines = [
+            f"| {p['small_execs']} -> {p['big_execs']} executors | "
+            f"{p['small_eps']:,.0f} | {p['big_eps']:,.0f} | **{p['efficiency']}** |"
+            for p in r["pairs"]
+        ]
+        blocks.append(f"""### Config: {c} core(s) per executor, \
+{r["n_events"] // r.get("batch_div", 2):,}-event batches
 
-The north rule's literal two-cluster-size criterion: the SAME job
-submitted via spark-submit --py-files to a standalone cluster at N and
-4N executor JVMs (`tools/standalone_cluster.sh`), every worker pinned
-to its own disjoint cores (the faithful one-box model of separate
-executor nodes), driver pinned to its own cores at every size. Median
-of {r["repeats"]} interleaved repeats on the same {r["n_events"]:,}-event log:
+Median of {r["repeats"]} interleaved repeats on the same \
+{r["n_events"]:,}-event log:
 
 | topology | total cores | events/sec (median) | individual runs |
 |---|---|---|---|
@@ -554,7 +602,17 @@ of {r["repeats"]} interleaved repeats on the same {r["n_events"]:,}-event log:
 {chr(10).join(pair_lines)}
 
 Determinism across cluster sizes: final state hash identical =
-**{r["state_match"]}** ({json.dumps(r["state_hashes"])}).
+**{r["state_match"]}** ({json.dumps(r["state_hashes"])}).""")
+    body = "\n\n".join(blocks)
+    return f"""## Secondary evidence: true multi-executor topology (spark-submit)
+
+The north rule's literal two-cluster-size criterion: the SAME job
+submitted via spark-submit --py-files to a standalone cluster at N and
+4N executor JVMs (`tools/standalone_cluster.sh`), every worker pinned
+to its own disjoint cores (the faithful one-box model of separate
+executor nodes), driver pinned to its own cores at every size.
+
+{body}
 
 Reading this pair: on ONE box, going from N to 4N executor JVMs adds
 the real costs of a cluster (cross-JVM shuffle fetch over netty,

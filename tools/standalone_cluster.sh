@@ -27,6 +27,16 @@ RUN_DIR="${SPARK_STANDALONE_DIR:-/tmp/etl_spark_cluster}"
 start() {
     local n_workers="${1:?n_workers}" cores="${2:?cores_per_worker}"
     mkdir -p "$RUN_DIR/logs"
+    # stale logs from a previous (larger) topology in the same RUN_DIR
+    # would over-count registrations below
+    rm -f "$RUN_DIR"/logs/master.log "$RUN_DIR"/logs/worker*.log
+    # a stale master on 7077 silently absorbs the new workers AND offers
+    # its own stale pinned workers to the next submit — refuse to start
+    # into that contaminated state instead of measuring garbage
+    if ss -tln 2>/dev/null | grep -q ':7077 '; then
+        echo "port 7077 already bound (stale master?) — run stop/kill first" >&2
+        exit 1
+    fi
     nohup "$SPARK_HOME/bin/spark-class" org.apache.spark.deploy.master.Master \
         --host 127.0.0.1 --port 7077 --webui-port 8090 \
         > "$RUN_DIR/logs/master.log" 2>&1 &
@@ -42,9 +52,21 @@ start() {
             > "$RUN_DIR/logs/worker$i.log" 2>&1 &
         echo $! > "$RUN_DIR/w$i.pid"
     done
-    sleep 8
+    # wait for every worker to register (fixed sleeps race under load);
+    # grep must not abort the script under set -e when nothing matches yet
+    local waited=0 reg=0
+    while [ "$waited" -lt 150 ]; do
+        reg=$( (grep -l "Successfully registered" "$RUN_DIR"/logs/worker*.log 2>/dev/null || true) | wc -l)
+        [ "$reg" -eq "$n_workers" ] && break
+        sleep 2; waited=$((waited + 2))
+    done
     echo "master spark://127.0.0.1:7077, $n_workers workers x $cores pinned cores"
-    grep -l "Successfully registered" "$RUN_DIR"/logs/worker*.log | wc -l
+    echo "$reg"
+    [ "$reg" -eq "$n_workers" ] || {
+        echo "workers failed to register; log tails:" >&2
+        tail -n 8 "$RUN_DIR"/logs/*.log >&2 2>/dev/null || true
+        exit 1
+    }
 }
 
 stop() {
