@@ -322,6 +322,12 @@ def oracle_sql() -> dict[str, str]:
                    sha256(props) AS content_sha256
             FROM fin WHERE e2 IS DISTINCT FROM 'error'
         """,
+        "rpsl_roundtrip": """
+            SELECT 'ORG-' || CAST(c_custkey AS VARCHAR) AS org_id,
+                   CASE WHEN c_custkey % 10 = 0 THEN '' ELSE c_name END
+                       AS org_name
+            FROM customer
+        """,
         "jsonl_roundtrip": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_text_chars,

@@ -646,6 +646,48 @@ def q_jsonl_roundtrip(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_rpsl_roundtrip(spark, sf_dir) -> DataFrame:
+    """S9+S10: render customer rows as a gzipped RPSL organisation dump,
+    pull it back over a ``file://`` URL (the reference's download step,
+    geoinfo/geoinfo.py:187-214), gunzip (geoinfo.py:175-179), and parse
+    with the distributed paragraph scan (one row per blank-line-separated
+    record via lineSep, regexp_extract per attribute — geoinfo.py:127-159
+    dump_organisation re-expressed without the driver-side line loop).
+    Every 10th record omits ``org-name:`` to pin the missing-attribute
+    '' semantics, and a ``remarks:`` line per record pins selective
+    extraction."""
+    import atexit
+    import glob
+    import tempfile
+
+    from .sources.rpsl import fetch, read_ripe_organisations, ungzip
+
+    _prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    rendered = cust.select(
+        F.concat(
+            F.lit("organisation: ORG-"),
+            F.col("c_custkey").cast("string"), F.lit("\n"),
+            F.when(
+                F.col("c_custkey") % 10 != 0,
+                F.concat(F.lit("org-name: "), F.col("c_name"), F.lit("\n")),
+            ).otherwise(F.lit("")),
+            F.lit("remarks: nation "),
+            F.col("c_nationkey").cast("string"), F.lit("\n"),
+        ).alias("value")
+    )
+    work = tempfile.mkdtemp(prefix="etl_spark_rpsl_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    dump_dir = f"{work}/dump"
+    # each row already ends with '\n'; the writer's record separator
+    # adds the second one -> blank-line-separated RPSL paragraphs
+    rendered.coalesce(1).write.option("compression", "gzip").text(dump_dir)
+    (part,) = glob.glob(f"{dump_dir}/part-*.txt.gz")
+    got_gz = fetch(f"file://{part}", f"{work}/fetched", "ripe.db.organisation.gz")
+    plain = ungzip(got_gz, f"{work}/fetched/ripe.db.organisation")
+    return read_ripe_organisations(spark, plain)
+
+
 def q_scalar_conversions(spark, sf_dir) -> DataFrame:
     """F4/F5/F7/F8 scalar conversion surface, all JVM expressions:
     - epoch-millis -> timestamp (thehive insert main_insert.py:111-112)
@@ -804,6 +846,7 @@ QUERIES = {
     "cidr_longest_match": q_cidr_longest_match,
     "csv_roundtrip": q_csv_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "rpsl_roundtrip": q_rpsl_roundtrip,
     "scalar_conversions": q_scalar_conversions,
     "group_max": q_group_max,
     "union_distinct": q_union_distinct,

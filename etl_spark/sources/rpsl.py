@@ -1,0 +1,128 @@
+"""RPSL / RIPE-database flat-file source (S9 + S10).
+
+The reference downloads the split RIPE database dumps over HTTPS,
+gunzips them locally, and walks the paragraph-structured RPSL text one
+line at a time in driver Python, emitting one CSV row per record
+(reference: geoinfo/geoinfo.py:80-124 dump_routes,
+geoinfo/geoinfo.py:127-159 dump_organisation,
+geoinfo/geoinfo.py:175-214 ungzip/download_file/download_ripe_source).
+
+The Spark-first shape is different: RPSL records are blank-line
+separated paragraphs, so ``spark.read.text`` with ``lineSep="\\n\\n"``
+yields ONE ROW PER RECORD directly off the distributed scan — the
+record split happens in executors, scales with input splits/files, and
+never buffers a whole dump on one machine. Key extraction is
+``regexp_extract`` with a multiline anchor: pure codegen expressions,
+no Python in the hot path. Gzip never needs a local decompress step —
+Spark's text source decodes ``.gz`` inside the scan, one file per task
+(the RIPE dumps are already split per object class, so a directory of
+``.gz`` parts parallelizes naturally; at 100 TB you keep the dumps
+sharded and the scan stays embarrassingly parallel).
+
+``fetch``/``ungzip`` cover the reference's transport step for parity
+(S9): a URL (``file://`` in this sandbox; ``http(s)://``/``ftp://`` on
+a real deployment — urllib handles all three) pulled to a local path,
+plus a streaming gunzip for consumers that want the decompressed file
+on disk. They are deliberately driver-side plumbing, not engine
+operators — exactly as in the reference, where the download is a
+pre-step feeding the parser.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RECORD_SEP = "\n\n"
+
+
+def fetch(url: str, dest_dir: str, file_name: str | None = None) -> str:
+    """Pull ``url`` to ``dest_dir`` and return the local path
+    (reference: geoinfo/geoinfo.py:187-196 download_file). Supports
+    ``file://`` (tested here) and ``http(s)://``/``ftp://`` via the
+    same urllib call on a networked deployment."""
+    os.makedirs(dest_dir, exist_ok=True)
+    name = file_name or url.rstrip("/").rsplit("/", 1)[-1]
+    dest = os.path.join(dest_dir, name)
+    with urllib.request.urlopen(url) as resp, open(dest, "wb") as out:
+        shutil.copyfileobj(resp, out, length=1 << 16)
+    return dest
+
+
+def ungzip(src: str, dst: str, block_size: int = 1 << 16) -> str:
+    """Streaming gunzip (reference: geoinfo/geoinfo.py:175-179).
+    Only needed when a downstream consumer wants the plain file on
+    disk — ``read_rpsl`` reads ``.gz`` directly via the scan codec."""
+    with gzip.open(src, "rb") as s, open(dst, "wb") as d:
+        shutil.copyfileobj(s, d, length=block_size)
+    return dst
+
+
+def read_rpsl(
+    spark: SparkSession,
+    path: str,
+    keys: dict[str, str],
+    required: tuple[str, ...] = (),
+) -> DataFrame:
+    """Parse an RPSL paragraph file into one row per record.
+
+    ``keys`` maps output column name -> RPSL attribute name; a record
+    missing an attribute yields '' for that column (the reference
+    writes '' for a missing ``org:``, geoinfo/geoinfo.py:101-102).
+    Records missing any attribute in ``required`` are dropped — the
+    reference skips blocks without their primary key
+    (geoinfo/geoinfo.py:93, :140). Repeated attributes take the first
+    occurrence (real RPSL primary keys are single-valued per record).
+
+    Distributed shape: ``lineSep="\\n\\n"`` makes the text scan emit
+    one paragraph per row (splittable for plain text; per-file
+    parallel for ``.gz``), and each attribute is one
+    ``regexp_extract`` with a ``(?m)^attr:`` anchor — all codegen,
+    no UDF, no driver-side line loop.
+    """
+    raw = spark.read.option("lineSep", RECORD_SEP).text(path)
+    # runs of 3+ newlines produce empty paragraphs; comment-only or
+    # whitespace-only blocks carry no attributes and fall out below
+    rec = raw.where(F.trim("value") != "")
+    cols = [
+        F.regexp_extract("value", rf"(?m)^{attr}:[ \t]*(.+?)[ \t\r]*$", 1)
+        .alias(out)
+        for out, attr in keys.items()
+    ]
+    out = rec.select(*cols)
+    for col in required:
+        out = out.where(F.col(col) != "")
+    return out
+
+
+def read_ripe_routes(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's route-dump projection: (network, org_id) with
+    ``route`` (v4) / ``route6`` (v6) coalesced into one network column
+    and '' when no ``org:`` is present (geoinfo/geoinfo.py:80-124)."""
+    df = read_rpsl(
+        spark, path,
+        keys={"route4": "route", "route6": "route6", "org_id": "org"},
+    )
+    return (
+        df.where((F.col("route4") != "") | (F.col("route6") != ""))
+        .select(
+            F.when(F.col("route4") != "", F.col("route4"))
+            .otherwise(F.col("route6")).alias("network"),
+            "org_id",
+        )
+    )
+
+
+def read_ripe_organisations(spark: SparkSession, path: str) -> DataFrame:
+    """(org_id, org_name) from the organisation dump
+    (geoinfo/geoinfo.py:127-159)."""
+    return read_rpsl(
+        spark, path,
+        keys={"org_id": "organisation", "org_name": "org-name"},
+        required=("org_id",),
+    )
