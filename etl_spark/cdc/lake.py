@@ -179,6 +179,43 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*dirs)
 
+    def lookup(self, keys: list[tuple[str, str]]) -> DataFrame:
+        """Point / small-batch key read: rows for the given (repo, path)
+        keys, touching ONLY the bucket dirs the keys hash into.
+
+        The layout IS the index: bucket = pmod(xxhash64(repo, path), N)
+        is the table's committed partition spec, so K distinct keys cost
+        at most K buckets of scan (1/N of the table each) regardless of
+        table size — the Iceberg bucket-transform partition-pruning
+        analog for the lakehouse point-query path. The bucket ids are
+        computed by the same ``bucket_expr`` that routes merges (one
+        tiny local-relation job, no table scan), never re-derived in
+        driver Python, so routing can't drift from the write path.
+
+        For a handful of keys the filter is an OR of (repo= AND path=)
+        conjunctions — pushed into the parquet scan (row-group stats
+        prune within the bucket); beyond that a broadcast semi-join on
+        the key pair does the same work shuffle-free.
+        """
+        if not keys:
+            return self.read(buckets=[])
+        kdf = self.spark.createDataFrame(
+            list(keys), "repo string, path string").dropDuplicates()
+        from .dedup import bucket_expr
+
+        rows = kdf.select(
+            "repo", "path", bucket_expr(self.n_buckets).alias("_b")
+        ).collect()
+        df = self.read(buckets=sorted({r["_b"] for r in rows}))
+        if len(rows) <= 64:
+            pred = None
+            for r in rows:
+                c = (F.col("repo") == r["repo"]) & (F.col("path") == r["path"])
+                pred = c if pred is None else (pred | c)
+            return df.where(pred)
+        return df.join(
+            F.broadcast(kdf), on=["repo", "path"], how="left_semi")
+
     def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Rows inserted or updated after ``from_version``, up to
         ``to_version`` (default: latest) — the Iceberg incremental-scan

@@ -70,3 +70,33 @@ def test_expired_version_raises(spark, versioned, tmp_path):
         t2.read(version=1)
     # the latest version still reads fine
     assert t2.read(version=t2.version()).count() == t2.read().count()
+
+
+def test_lookup_reads_only_key_buckets(spark, versioned):
+    """lookup() returns exactly the live rows for the requested keys and
+    scans only the buckets those keys hash into (the bucket layout as a
+    point-read index)."""
+    table, rows = versioned
+    from etl_spark.cdc.gen import oracle_reduce
+
+    state, _ = oracle_reduce(rows)
+    live = list(state)
+    probe = [live[0], live[7], ("no/such", "key.py")]
+    got = {(r["repo"], r["path"]): r for r in table.lookup(probe).collect()}
+    assert set(got) == {live[0], live[7]}
+    for k in (live[0], live[7]):
+        assert got[k]["content_sha256"] == state[k]["content_sha256"]
+
+    # plan touches a strict subset of bucket dirs + pushes the key filter
+    df = table.lookup([live[0]])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scanned = set(re.findall(r"bucket=(\d+)", plan))
+    assert len(scanned) <= 1 or "PushedFilters" in plan
+    assert df.count() == 1
+
+    # empty probe and >64-key (semi-join) path agree with the predicate path
+    assert table.lookup([]).count() == 0
+    many = live[:70] + [("ghost", f"g{i}") for i in range(5)]
+    assert table.lookup(many).count() == 70
