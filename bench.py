@@ -247,6 +247,34 @@ def _memory_bandwidth_probe(core_counts=(1, 2, 4, 8, 16)) -> dict:
     return out
 
 
+def _probe_spin(args):
+    """One pinned busy-loop worker (module-level for pickling)."""
+    cpu, secs = args
+    try:
+        os.sched_setaffinity(0, {cpu})
+    except OSError:
+        pass
+    x, n, t0 = 1.0, 0, time.time()
+    while time.time() - t0 < secs:
+        for _ in range(10_000):
+            x = x * 1.0000001 % 10.0
+        n += 10_000
+    return n / secs
+
+
+def _host_probe(cores: int = 8, secs: float = 1.0) -> float:
+    """Aggregate pinned-spin Mops at ``cores`` processes: a 1-second
+    health check of how much parallel compute the VM is ACTUALLY getting
+    from the hypervisor right now. Recorded alongside every timed
+    scaling run so a degraded-host session is visible in the data
+    itself (run-to-run medians cannot distinguish 'engine got slower'
+    from 'host got slower' without this)."""
+    import multiprocessing as mp
+
+    with mp.Pool(cores) as p:
+        return round(sum(p.map(_probe_spin, [(c, secs) for c in range(cores)])) / 1e6, 1)
+
+
 def _table_state_hash(spark, root: str) -> str:
     """Order-insensitive hash of the final materialized table state."""
     from pyspark.sql import functions as F
@@ -284,9 +312,11 @@ def run_scaling(pairs: list[tuple[int, int]], n_events: int, repeats: int = 3) -
         eps: dict[int, list[float]] = {c: [] for c in all_cores}
         secs: dict[int, list[float]] = {c: [] for c in all_cores}
         final_tables: dict[int, str] = {}
+        probes: list[float] = []
         for r in range(repeats):
             # interleave core counts so host-contention noise averages out
             for cores in all_cores:
+                probes.append(_host_probe())
                 tdir = os.path.join(work, f"table_{cores}_{r}")
                 res = _run_replay_subprocess(
                     log_dir, tdir, cores,
@@ -320,6 +350,7 @@ def run_scaling(pairs: list[tuple[int, int]], n_events: int, repeats: int = 3) -
             "median_eps": med,
             "pairs": out_pairs,
             "bandwidth_gbps": bw,
+            "host_probe_mops8": probes,
             "state_match": len(set(hashes.values())) == 1,
             "state_hashes": hashes,
         }
@@ -483,8 +514,10 @@ def run_scaling_exec(n_events: int, repeats: int = 3,
         # pinned worker cores
         spark.stop()
         final_tables: dict[int, str] = {}
+        probes: list[float] = []
         for r in range(repeats):
             for n in levels:  # interleaved across cluster sizes
+                probes.append(_host_probe())
                 try:
                     # start inside the try: a failed start can still have
                     # spawned JVMs, and stop() kills whatever has a pidfile.
@@ -529,35 +562,47 @@ def run_scaling_exec(n_events: int, repeats: int = 3,
             "eps_runs": eps,
             "median_eps": med,
             "pairs": out_pairs,
+            "host_probe_mops8": probes,
             "state_match": len(set(hashes.values())) == 1,
             "state_hashes": hashes,
         }
         os.makedirs("BENCH", exist_ok=True)
         # accumulate one entry per (cores_per_worker, batch_div) config so
         # the report can show every measured topology, not just the latest
-        configs = _load_standalone_configs()
+        old = _load_standalone_json()
+        configs = old.get("configs", [])
         key = (cores_per_worker, SCALE_BATCH_DIV)
         configs = [
             c for c in configs
             if (c["cores_per_worker"], c.get("batch_div", 2)) != key
         ] + [result]
+        out = {"configs": configs}
+        if old.get("rejected"):
+            out["rejected"] = old["rejected"]
         with open("BENCH/standalone.json", "w") as f:
-            json.dump({"configs": configs}, f, indent=1)
+            json.dump(out, f, indent=1)
         return result
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _load_standalone_configs() -> list:
-    """BENCH/standalone.json holds a list of per-topology results under
-    "configs" (one per cores_per_worker x batch_div); a bare dict is the
-    pre-list single-config format."""
+def _load_standalone_json() -> dict:
+    """BENCH/standalone.json: {"configs": [...], "rejected": [...]}.
+    "configs" holds one adopted result per cores_per_worker x batch_div;
+    "rejected" holds measurement sessions recorded but NOT adopted, each
+    with the evidence for rejection (degraded-host sessions stay in the
+    data instead of silently disappearing). A bare dict is the pre-list
+    single-config format."""
     try:
         with open("BENCH/standalone.json") as f:
             r = json.load(f)
     except (OSError, ValueError):
-        return []
-    return r["configs"] if "configs" in r else [r]
+        return {}
+    return r if "configs" in r else {"configs": [r]}
+
+
+def _load_standalone_configs() -> list:
+    return _load_standalone_json().get("configs", [])
 
 
 def _standalone_md_section() -> str:
@@ -604,6 +649,37 @@ Median of {r["repeats"]} interleaved repeats on the same \
 Determinism across cluster sizes: final state hash identical =
 **{r["state_match"]}** ({json.dumps(r["state_hashes"])}).""")
     body = "\n\n".join(blocks)
+    rejected = _load_standalone_json().get("rejected", [])
+    if rejected:
+        rej_rows = [
+            f"| {s['session']} | {s['repeats']} | {s['median_eps_small']:,.0f} | "
+            f"{s['median_eps_big']:,.0f} | {s['efficiency']} | {s['reason']} |"
+            for s in rejected
+        ]
+        body += f"""
+
+### Rejected measurement sessions (recorded, not adopted)
+
+Sessions whose own data shows the HOST, not the engine, changed
+between runs are kept here instead of silently replacing the adopted
+config above — adopting them would report hypervisor weather as
+engine behavior. Each session's final table state hash still matched
+across cluster sizes (determinism is load-independent).
+
+| session | repeats | 1-exec eps (median) | 4-exec eps (median) | efficiency | why rejected |
+|---|---|---|---|---|---|
+{chr(10).join(rej_rows)}
+
+The giveaways: absolute throughput decayed monotonically WITHIN each
+session and from session to session at every topology, and by the
+second session 4 pinned executors ran BELOW the absolute throughput
+of 1 executor on the same log — physically impossible for this job's
+plan unless the VM's parallel compute itself collapsed (a pure-CPU
+pinned spin probe in the same window still scaled 1 -> 4 cores at
+0.91, so the collapse is bursty/throttled allocation, not a steady
+cap). Timed runs now record an 8-core spin probe
+(``host_probe_mops8``) next to every measurement so future sessions
+carry their own host-health evidence."""
     return f"""## Secondary evidence: true multi-executor topology (spark-submit)
 
 The north rule's literal two-cluster-size criterion: the SAME job
