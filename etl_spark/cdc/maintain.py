@@ -151,3 +151,42 @@ def rebucket(spark: SparkSession, table: SnapshotTable, new_n_buckets: int) -> d
     )
     metrics["version"] = version
     return metrics
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI: python -m etl_spark.cdc.maintain --table T <op> [options] —
+    the ops-runbook entry point for the three maintenance jobs, emitting
+    the same metrics JSON the library calls return."""
+    import argparse
+    import json
+    import sys
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser(description="etl_spark table maintenance")
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--master", default=None)
+    sub = ap.add_subparsers(dest="op", required=True)
+    c = sub.add_parser("compact", help="rewrite fragmented buckets")
+    c.add_argument("--max-files-per-bucket", type=int, default=1)
+    v = sub.add_parser("vacuum", help="remove orphaned crash-debris dirs")
+    v.add_argument("--min-age-secs", type=float, default=3600.0)
+    r = sub.add_parser("rebucket", help="partition-spec evolution")
+    r.add_argument("--n-buckets", type=int, required=True)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("etl_spark-maintain", master=args.master)
+    table = SnapshotTable(spark, args.table)
+    if args.op == "compact":
+        res = compact(spark, table, max_files_per_bucket=args.max_files_per_bucket)
+    elif args.op == "vacuum":
+        res = {"op": "vacuum",
+               "removed": remove_orphans(table, min_age_secs=args.min_age_secs)}
+    else:
+        res = rebucket(spark, table, new_n_buckets=args.n_buckets)
+    print(json.dumps(res))
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
