@@ -248,6 +248,7 @@ class PreparedBatch:
     slim: DataFrame | None = None
     data: DataFrame | None = None
     changes: list | None = None
+    quarantine: DataFrame | None = None  # malformed live rows + _reason
     n_keys: int = 0
     touched: list | None = None
     prepare_secs: float = 0.0
@@ -291,11 +292,24 @@ def prepare_batch(
     # separate counting scan at all (it used to be ~25% of batch wall
     # time and scaled worst of all phases).
     live = F.col("lsn") > ckpt
-    is_data = live & (F.col("op") != "S")
+    # malformed events are quarantined, never merged: an unknown op
+    # would otherwise ride the packed-long low bits as an insert (the
+    # silent-corruption path), and a null key would upsert under the
+    # null bucket. (A null lsn can't reach a batch at all — the LSN
+    # window filter and the bounds probe both drop it; use a pre-flight
+    # log scan if the source can produce them.)
+    is_bad_op = ~F.coalesce(F.col("op").isin("I", "U", "D", "S"), F.lit(False))
+    bad_reason = F.when(is_bad_op, F.lit("bad_op")).when(
+        (F.col("op") != "S") & (F.col("repo").isNull() | F.col("path").isNull()),
+        F.lit("null_key"),
+    )
+    valid = bad_reason.isNull()
+    is_data = live & valid & (F.col("op") != "S")
     control_exprs = [
         F.count("*").alias("seen"),
         F.sum(F.when(~live, 1).otherwise(0)).alias("late"),
         F.sum(F.when(live, 1).otherwise(0)).alias("n_live"),
+        F.sum(F.when(live & ~valid, 1).otherwise(0)).alias("n_invalid"),
         F.sum(F.when(is_data, 1).otherwise(0)).alias("n_data"),
         # as JSON strings: Observation rows cannot carry nested structs
         # across the py4j boundary (toPyRow assertion); schema events are
@@ -415,7 +429,8 @@ def prepare_batch(
     m.events_seen = counts["seen"] or 0
     m.late_events = counts["late"] or 0
     m.data_events = counts["n_data"] or 0
-    m.schema_events = (counts["n_live"] or 0) - m.data_events
+    m.quarantined = counts["n_invalid"] or 0
+    m.schema_events = (counts["n_live"] or 0) - m.data_events - m.quarantined
     # data-event re-deliveries (same lsn twice): exact, straight from the
     # slim stats — level 1 of the slim aggregate groups by (key, packed
     # lsn), so sum(_n) - sum(_nd) is exactly the number of duplicate
@@ -448,6 +463,11 @@ def prepare_batch(
         n_keys=int(slim_stats["n_keys"] or 0),
         touched=sorted(int(b) for b in (slim_stats["touched"] or [])),
         prepare_secs=time.time() - t0,
+        quarantine=(
+            batch.where(live).withColumn("_reason", bad_reason)
+            .where(F.col("_reason").isNotNull())
+            if m.quarantined else None
+        ),
     )
 
 
@@ -481,6 +501,15 @@ def apply_prepared(
     ckpt, lsn_to = prep.ckpt, prep.lsn_to
     slim, data, changes = prep.slim, prep.data, prep.changes
     m.phase_secs["prepare"] = round(prep.prepare_secs, 3)
+
+    if prep.quarantine is not None:
+        # dead-letter sink: malformed live rows land under a batch-scoped
+        # dir (overwrite -> crash-redo idempotent), outside the manifest
+        # so table reads never see them; zero cost on clean batches (the
+        # observation count gates the job)
+        prep.quarantine.write.mode("overwrite").parquet(
+            os.path.join(table.root, "quarantine", f"b{prep.batch_id}")
+        )
 
     dyn_prev = table.dyn_schema()
     dyn_final = apply_to_dyn_schema(dyn_prev, changes)

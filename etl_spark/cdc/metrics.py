@@ -26,6 +26,7 @@ class BatchMetrics:
     lsn_to: int                        # inclusive
     events_seen: int = 0
     late_events: int = 0               # lsn <= checkpoint (D5 grace semantics)
+    quarantined: int = 0               # malformed live rows -> dead-letter sink
     duplicate_deliveries: int = 0      # same-lsn re-deliveries collapsed
     schema_events: int = 0
     data_events: int = 0

@@ -1,0 +1,79 @@
+"""Dead-letter quarantine: malformed events (unknown op, null key) are
+diverted to a batch-scoped sink with reasons, never merged, never
+silently dropped — and replay/resume semantics are unchanged."""
+
+import os
+
+from pyspark.sql import Row
+
+from etl_spark.cdc.gen import GenConfig, generate_events, oracle_reduce
+from etl_spark.cdc.lake import SnapshotTable
+from etl_spark.cdc.runner import replay
+from etl_spark.cdc.schema import EVENT_SCHEMA
+
+from .conftest import assert_table_matches_oracle
+
+
+def _bad_rows(spark, base_lsn):
+    rows = [
+        # unknown op: would otherwise pack as op_code 0 (an insert)
+        Row(lsn=base_lsn + 1, op="X", repo="r0", path="evil.py",
+            commit="c", lang="py", content="boom", ts=None, extra=None,
+            schema_change=None),
+        # null path on a data op: would otherwise upsert a null key
+        Row(lsn=base_lsn + 2, op="I", repo="r0", path=None,
+            commit="c", lang="py", content="boom2", ts=None, extra=None,
+            schema_change=None),
+        Row(lsn=base_lsn + 3, op="Z", repo=None, path=None,
+            commit=None, lang=None, content=None, ts=None, extra=None,
+            schema_change=None),
+    ]
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_quarantine_diverts_and_state_matches_oracle(spark, tmp_path):
+    cfg = GenConfig(n_events=2000, n_keys=100, seed=31)
+    good = generate_events(spark, cfg)
+    good_rows = good.collect()
+    hi = max(r["lsn"] for r in good_rows)
+    events = good.unionByName(_bad_rows(spark, hi))
+
+    table = SnapshotTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    ms = replay(spark, events, table, batch_size=800)
+
+    # final state == oracle over the GOOD rows only
+    state, dyn = oracle_reduce(good_rows)
+    assert_table_matches_oracle(table.read().collect(), state, dyn)
+
+    # every malformed row is in the dead-letter sink with its reason
+    qdir = os.path.join(table.root, "quarantine")
+    q = spark.read.parquet(f"{qdir}/*").select("lsn", "op", "_reason")
+    got = {r["lsn"]: r["_reason"] for r in q.collect()}
+    assert got == {hi + 1: "bad_op", hi + 2: "null_key", hi + 3: "bad_op"}
+
+    # metrics: quarantined counted, accounting identity extended
+    assert sum(m.quarantined for m in ms) == 3
+    for m in ms:
+        assert m.events_seen == (m.late_events + m.schema_events
+                                 + m.data_events + m.quarantined)
+
+    # resume is still a no-op and quarantine is not re-written
+    before = sorted(
+        os.path.join(dp, f) for dp, _, fs in os.walk(qdir) for f in fs
+    )
+    ms2 = replay(spark, events, table, batch_size=800)
+    assert ms2 == [] or all(m.noop for m in ms2) or sum(
+        m.events_seen for m in ms2) == 0
+    after = sorted(
+        os.path.join(dp, f) for dp, _, fs in os.walk(qdir) for f in fs
+    )
+    assert before == after
+
+
+def test_clean_log_writes_no_quarantine(spark, tmp_path):
+    cfg = GenConfig(n_events=1000, n_keys=80, seed=32)
+    events = generate_events(spark, cfg)
+    table = SnapshotTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    ms = replay(spark, events, table, batch_size=500)
+    assert sum(m.quarantined for m in ms) == 0
+    assert not os.path.isdir(os.path.join(table.root, "quarantine"))
