@@ -36,6 +36,31 @@ def read_event_log(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(EVENT_SCHEMA).parquet(path)
 
 
+def preflight_counts(events: DataFrame) -> dict:
+    """One validation pass over a log BEFORE replay: null-lsn rows can
+    never enter a batch (the LSN window filter and the bounds probe both
+    drop them), so the in-batch quarantine cannot see them — this scan
+    can. Returns counts by problem; all-zero means every event will be
+    either applied or quarantined, none silently invisible."""
+    row = events.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("lsn").isNull(), 1).otherwise(0)).alias("null_lsn"),
+        F.sum(
+            F.when(
+                ~F.coalesce(F.col("op").isin("I", "U", "D", "S"), F.lit(False)), 1
+            ).otherwise(0)
+        ).alias("bad_op"),
+        F.sum(
+            F.when(
+                (F.col("op") != "S")
+                & (F.col("repo").isNull() | F.col("path").isNull()),
+                1,
+            ).otherwise(0)
+        ).alias("null_key"),
+    ).collect()[0]
+    return {k: int(row[k] or 0) for k in ("total", "null_lsn", "bad_op", "null_key")}
+
+
 def replay(
     spark: SparkSession,
     events: DataFrame,
@@ -153,9 +178,19 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--warmup", action="store_true",
                     help="run a tiny throwaway replay first so the reported "
                          "throughput is steady-state (JIT/codegen warm)")
+    ap.add_argument("--preflight", action="store_true",
+                    help="validate the log first (null lsn / bad op / null "
+                         "key counts); exits 2 on null-lsn rows, which no "
+                         "batch window can ever see")
     args = ap.parse_args(argv)
 
     spark = get_spark("etl_spark-replay", master=args.master)
+    if args.preflight:
+        pf = preflight_counts(read_event_log(spark, args.events))
+        print(json.dumps({"preflight": pf}), file=sys.stderr)
+        if pf["null_lsn"]:
+            print(json.dumps({"error": "null-lsn rows in log", **pf}))
+            sys.exit(2)
     if args.warmup:
         import tempfile
 

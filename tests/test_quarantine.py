@@ -77,3 +77,28 @@ def test_clean_log_writes_no_quarantine(spark, tmp_path):
     ms = replay(spark, events, table, batch_size=500)
     assert sum(m.quarantined for m in ms) == 0
     assert not os.path.isdir(os.path.join(table.root, "quarantine"))
+
+
+def test_preflight_counts(spark):
+    from etl_spark.cdc.runner import preflight_counts
+
+    good = generate_events(spark, GenConfig(n_events=500, n_keys=50, seed=33))
+    assert preflight_counts(good) == {
+        "total": 500, "null_lsn": 0, "bad_op": 0, "null_key": 0}
+
+    from pyspark.sql import types as T
+
+    # a null lsn violates EVENT_SCHEMA's non-null contract — which is
+    # exactly why only a pre-flight scan over a permissive read can
+    # surface it (a conforming log can't contain one)
+    permissive = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in EVENT_SCHEMA]
+    )
+    bad = good.unionByName(spark.createDataFrame([
+        Row(lsn=None, op="I", repo="r", path="p", commit=None, lang=None,
+            content=None, ts=None, extra=None, schema_change=None),
+        Row(lsn=10**6, op="Q", repo="r", path=None, commit=None, lang=None,
+            content=None, ts=None, extra=None, schema_change=None),
+    ], permissive))
+    pf = preflight_counts(bad)
+    assert pf == {"total": 502, "null_lsn": 1, "bad_op": 1, "null_key": 1}
