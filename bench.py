@@ -671,15 +671,18 @@ across cluster sizes (determinism is load-independent).
 {chr(10).join(rej_rows)}
 
 The giveaways: absolute throughput decayed monotonically WITHIN each
-session and from session to session at every topology, and by the
-second session 4 pinned executors ran BELOW the absolute throughput
-of 1 executor on the same log — physically impossible for this job's
+session and from session to session at EVERY topology — by the last
+sessions the 1-executor runs themselves sat 25-30% below the adopted
+session and 4 pinned executors ran at or BELOW 1-executor absolute
+throughput on the same log, physically impossible for this job's
 plan unless the VM's parallel compute itself collapsed (a pure-CPU
-pinned spin probe in the same window still scaled 1 -> 4 cores at
-0.91, so the collapse is bursty/throttled allocation, not a steady
-cap). Timed runs now record an 8-core spin probe
-(``host_probe_mops8``) next to every measurement so future sessions
-carry their own host-health evidence."""
+pinned spin probe in the same windows still scaled 1 -> 4 cores at
+~0.9, so the collapse is bursty/throttled hypervisor allocation —
+burst credits draining under sustained benching — not a steady cap,
+and not anything in the engine: the final table state hash matched
+across cluster sizes in every rejected session). Timed runs now
+record an 8-core spin probe (``host_probe_mops8``) next to every
+measurement so sessions carry their own host-health evidence."""
     return f"""## Secondary evidence: true multi-executor topology (spark-submit)
 
 The north rule's literal two-cluster-size criterion: the SAME job
