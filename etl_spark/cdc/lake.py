@@ -216,6 +216,24 @@ class SnapshotTable:
         return df.join(
             F.broadcast(kdf), on=["repo", "path"], how="left_semi")
 
+    def read_quarantine(self) -> DataFrame:
+        """All dead-lettered events (malformed rows diverted by the merge,
+        see merge.py prepare_batch) with their ``_reason``, across every
+        batch. Lives outside the manifest: table reads never see these,
+        and retention/maintenance never touches them."""
+        import glob as _glob
+
+        from .schema import EVENT_SCHEMA
+
+        schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in EVENT_SCHEMA]
+            + [T.StructField("_reason", T.StringType(), True)]
+        )
+        dirs = sorted(_glob.glob(os.path.join(self.root, "quarantine", "b*")))
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
+
     def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Rows inserted or updated after ``from_version``, up to
         ``to_version`` (default: latest) — the Iceberg incremental-scan

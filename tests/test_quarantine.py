@@ -50,6 +50,9 @@ def test_quarantine_diverts_and_state_matches_oracle(spark, tmp_path):
     q = spark.read.parquet(f"{qdir}/*").select("lsn", "op", "_reason")
     got = {r["lsn"]: r["_reason"] for r in q.collect()}
     assert got == {hi + 1: "bad_op", hi + 2: "null_key", hi + 3: "bad_op"}
+    # the table-level reader sees the same rows (and typed columns)
+    got2 = {r["lsn"]: r["_reason"] for r in table.read_quarantine().collect()}
+    assert got2 == got
 
     # metrics: quarantined counted, accounting identity extended
     assert sum(m.quarantined for m in ms) == 3
@@ -77,6 +80,7 @@ def test_clean_log_writes_no_quarantine(spark, tmp_path):
     ms = replay(spark, events, table, batch_size=500)
     assert sum(m.quarantined for m in ms) == 0
     assert not os.path.isdir(os.path.join(table.root, "quarantine"))
+    assert table.read_quarantine().count() == 0
 
 
 def test_preflight_counts(spark):
