@@ -83,3 +83,29 @@ def delete_where(
     )
     metrics["version"] = version
     return metrics
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI: python -m etl_spark.cdc.delete --table T --where <predicate>
+    — the reference's delete-by-query retention job
+    (es_deleting_old_writes/main.py:25-57 deletes time_field < now-7d on
+    a schedule) as a shell command over the lake table."""
+    import argparse
+    import json
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser(description="etl_spark predicate delete")
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--where", required=True,
+                    help="SQL boolean expression over the table's columns, "
+                         "e.g. \"_last_lsn < 1000000\" or \"lang = 'go'\"")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    spark = get_spark("etl_spark-delete", master=args.master)
+    res = delete_where(spark, SnapshotTable(spark, args.table), args.where)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
