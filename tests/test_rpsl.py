@@ -120,3 +120,51 @@ def test_rpsl_generic_keys(spark, tmp_path):
     df = read_rpsl(spark, str(p), keys={"a": "a", "b": "b"})
     got = sorted((r["a"], r["b"]) for r in df.collect())
     assert got == [("", "only-b"), ("1", "2"), ("3", "")]
+
+
+# --- property: render -> parse round trip over adversarial values ---------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# values that survive a line-oriented format: no newlines; leading/
+# trailing whitespace is stripped by parser AND renderer contract, so
+# normalize in the strategy (RPSL itself has no quoting mechanism)
+_value = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+    min_size=1, max_size=40,
+).map(lambda s: s.strip()).filter(lambda s: s != "")
+
+_records = st.lists(
+    st.tuples(_value, st.one_of(st.none(), _value)),
+    min_size=1, max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(recs=_records)
+def test_rpsl_roundtrip_property(spark, tmp_path_factory, recs):
+    """Any renderable (org_id, optional org-name) set survives the
+    render -> distributed-parse round trip exactly: ids keyed by index
+    (values may repeat), missing attribute -> ''."""
+    d = tmp_path_factory.mktemp("rpsl_prop")
+    p = d / "dump.rpsl"
+    blocks = []
+    for i, (vid, name) in enumerate(recs):
+        lines = [f"organisation: ID{i} {vid}"]
+        if name is not None:
+            lines.append(f"org-name: {name}")
+        blocks.append("\n".join(lines))
+    p.write_text("\n\n".join(blocks) + "\n", encoding="utf-8")
+    got = {
+        r["org_id"]: r["org_name"]
+        for r in read_ripe_organisations(spark, str(p)).collect()
+    }
+    want = {f"ID{i} {vid}": (name if name is not None else "")
+            for i, (vid, name) in enumerate(recs)}
+    assert got == want
