@@ -209,3 +209,41 @@ def test_windowed_rates_watermark_drops_late(spark, tmp_path):
     # never emitted.
     assert [(r["window_start"], r["repo"], r["n_events"], r["max_lsn"])
             for r in emitted] == [(t0, "r1", 2, 2)]
+
+
+def test_stream_inherits_quarantine(spark, tmp_path):
+    """The streaming front-end runs the same prepare/apply pipeline, so
+    malformed events in a streamed log divert to the dead-letter sink
+    instead of merging (or failing the stream)."""
+    from pyspark.sql import Row
+
+    from etl_spark.cdc.schema import EVENT_SCHEMA
+
+    cfg = GenConfig(n_events=1000, n_keys=60, seed=41)
+    log_dir = str(tmp_path / "log")
+    write_events(spark, cfg, log_dir, n_files=2)
+    bad = spark.createDataFrame([
+        Row(lsn=1001, op="X", repo="r0", path="evil.py", commit="c",
+            lang="py", content="boom", ts=None, extra=None,
+            schema_change=None),
+        Row(lsn=1002, op="I", repo=None, path="p", commit="c",
+            lang="py", content="boom2", ts=None, extra=None,
+            schema_change=None),
+    ], EVENT_SCHEMA)
+    bad.coalesce(1).write.mode("append").parquet(log_dir)
+    _order_mtimes_by_lsn(log_dir)
+
+    table = SnapshotTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    metrics = []
+    q = stream_replay(
+        spark, log_dir, table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        collected_metrics=metrics,
+    )
+    q.awaitTermination(120)
+
+    state, dyn = oracle_reduce(generate_events(spark, cfg).collect())
+    assert_table_matches_oracle(table.read().collect(), state, dyn)
+    assert sum(m.quarantined for m in metrics) == 2
+    got = {r["lsn"]: r["_reason"] for r in table.read_quarantine().collect()}
+    assert got == {1001: "bad_op", 1002: "null_key"}
