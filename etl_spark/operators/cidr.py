@@ -12,9 +12,10 @@ distribute. The Spark-first shape is a PREFIX-LENGTH FAN-OUT equi-join:
    O(|ips| x distinct_plens), shuffle keys are uniform hashes, and a
    hot /8 cannot blow up: each (plen, prefix) bucket holds exactly the
    networks that share that prefix.
-3. longest match wins: max(plen) per probe via a packed HashAggregate +
-   equi-join back (the slim shape, no SortAggregate); plen ties break on
-   the lexicographically smallest network string.
+3. longest match wins via ONE packed-long HashAggregate (plen in the
+   high bits of plen<<33 + prefix, so max() picks the longest match);
+   the wide candidate fan-out never feeds a join — only the slim
+   per-ip winner table joins back onto the original probe rows.
 
 Everything is whole-stage-codegen expressions — no UDFs.
 """
@@ -103,11 +104,27 @@ def cidr_longest_match(
             ["plen", "_pfx"],
         )
     )
-    # longest match per probe ip value: max(plen) HashAggregate, then
-    # equi-join back on (ip, plen) — exactly one deduped network exists
-    # per (plen, prefix), so no further tie-breaking is needed
-    best = cand.groupBy(ip_col).agg(F.max("plen").alias("plen"))
-    return (
-        cand.join(best, [ip_col, "plen"])
-        .select(*ips.columns, "plen", long_to_cidr("_pfx", "plen").alias(cidr_col))
+    # longest match per probe ip value, resolved entirely inside ONE
+    # HashAggregate: pack (plen, prefix) into a single long with plen in
+    # the high bits (prefix < 2^32, so plen<<33 + prefix never collides
+    # across plens) — max(pack) IS the longest match, and exactly one
+    # deduped network exists per (plen, prefix), so no tie-breaking and
+    # no join back onto the wide candidate fan-out. Only the slim
+    # (ip, winner) table feeds the final join, against the ORIGINAL
+    # probe rows — the |ips| x |plens| candidate set never crosses a
+    # join boundary.
+    win = (
+        cand.groupBy(ip_col)
+        .agg(
+            F.max(
+                F.shiftleft(F.col("plen").cast("long"), 33) + F.col("_pfx")
+            ).alias("_w")
+        )
+        .withColumn("plen", F.shiftright(F.col("_w"), 33).cast("int"))
+        .withColumn(
+            "_pfx", F.col("_w") - F.shiftleft(F.col("plen").cast("long"), 33)
+        )
+    )
+    return ips.join(win, ip_col).select(
+        *ips.columns, "plen", long_to_cidr("_pfx", "plen").alias(cidr_col)
     )
