@@ -187,21 +187,44 @@ def lsh_topk(
     pairs are deduped BEFORE the cosine projection so each pair's
     O(dim) work is paid once. Recall is tested vs brute force."""
     b = lsh_multitable_udf(dim, n_planes, n_tables, seed)
+    # the bucket join and the pair dedup run SLIM (two long ids): the
+    # wide vector column never crosses the bucket-join shuffle (it used
+    # to ride along x n_tables) and the dedup plans as a HashAggregate
+    # over fixed-width keys — carrying vectors through dropDuplicates
+    # would plan first(array) as a SortAggregate (per-partition sort of
+    # every candidate pair)
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
         F.explode(b(F.col(vec_col))).alias("bucket"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("pv"),
         F.explode(b(F.col(vec_col))).alias("bucket"),
     )
-    scored = (
+    pairs = (
         F.broadcast(p)
         .join(c, "bucket")
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .dropDuplicates(["probe_id", "neighbor_id"])
+        .select("probe_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    # vectors attach once per deduped pair: probes re-broadcast (same
+    # small side), corpus via one equi-join on the id
+    scored = (
+        pairs.join(
+            F.broadcast(
+                probes.select(
+                    F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
+                )
+            ),
+            "probe_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
         .select(
             "probe_id",
             "neighbor_id",
@@ -354,21 +377,26 @@ def embedding_neardup_pairs(
     multi-table LSH buckets (high threshold -> high per-table collision
     probability, so few tables suffice). Pairs dedup before the cosine."""
     b = lsh_multitable_udf(dim, n_planes, n_tables, seed)
+    # slim self-join + slim pair dedup (two long ids -> HashAggregate);
+    # the vectors attach AFTER dedup via two id equi-joins, so they
+    # neither ride the bucket-join shuffle x n_tables nor force the
+    # dedup into a SortAggregate over array buffers
     v = fan_out(df).select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.explode(b(F.col(vec_col))).alias("bucket"),
     )
     x, y = v.alias("x"), v.alias("y")
-    return (
+    pairs = (
         x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.v").alias("va"),
-            F.col("y.v").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    vec = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    return (
+        pairs.join(vec.withColumnRenamed("_vid", "id_a"), "id_a")
+        .withColumnRenamed("_v", "va")
+        .join(vec.withColumnRenamed("_vid", "id_b"), "id_b")
+        .withColumnRenamed("_v", "vb")
         .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
