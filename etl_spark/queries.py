@@ -493,16 +493,24 @@ def q_scalar_subquery_lookup(spark, sf_dir) -> DataFrame:
 
 
 def q_array_membership_join(spark, sf_dir) -> DataFrame:
-    """J9: array-membership join (tags ∋ level_name, insert.py:217-225)."""
+    """J9: array-membership join (tags ∋ level_name, insert.py:217-225).
+
+    Scale shape: explode the distinct array elements and EQUI-join on
+    the element — an ``array_contains`` join condition would plan as a
+    BroadcastNestedLoopJoin evaluating every (row, term) pair, which is
+    the O(N x terms) blow-up once the term side grows; the exploded form
+    stays a broadcast hash join whatever the term count."""
     _prep(spark)
     docs = table(spark, sf_dir, "documents")
     terms = spark.createDataFrame(
         [("spark",), ("merge",), ("join",), ("window",), ("hash",)], "term string"
     )
-    words = F.split(F.col("text"), " ")
+    doc_terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"),
+    )
     return (
-        docs.withColumn("words", words)
-        .join(F.broadcast(terms), F.array_contains(F.col("words"), F.col("term")))
+        doc_terms.join(F.broadcast(terms), "term")
         .groupBy("term")
         .agg(F.count("*").alias("n_docs"))
     )
