@@ -14,6 +14,12 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def executed_plan_string(df: DataFrame) -> str:
+    """The executedPlan tree as text (node names incl. aggregate/join
+    strategies — what the hazard sweep greps)."""
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
 def has_pushed_filters(df: DataFrame, *fragments: str) -> bool:
     """True if the parquet scan reports all fragments under PushedFilters."""
     plan = formatted_plan(df)

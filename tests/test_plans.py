@@ -154,3 +154,37 @@ def test_cidr_join_is_broadcast_equi_join(spark):
     plan = formatted_plan(QUERIES["cidr_longest_match"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "HashAggregate" in plan and "SortAggregate" not in plan
+
+
+def test_no_plan_hazards_across_query_library(spark):
+    """Sweep: no query's physical plan may contain a SortAggregate, a
+    CartesianProduct, or row-at-a-time Python — and non-equi nested-loop
+    joins are allowed only where the algorithm IS a bounded fan-out
+    (brute-force ANN's corpus x probes; CIDR's <=33-row plen dimension).
+    Pure plan construction only: queries that materialize side effects
+    (codec round trips, replay-backed snapshots, mutating ops) are
+    exercised elsewhere and skipped here."""
+    from etl_spark.plans.explain import executed_plan_string
+
+    skip = {
+        # write/replay side effects on call — covered by their own tests
+        "cdc_replay_snapshot", "cdc_merge_upsert", "merge_into_snapshot",
+        "predicate_delete", "touch_first_last_seen", "coalesce_content_merge",
+        "time_travel_incremental", "changelog_feed", "mirror_sync",
+        "scd2_history", "csv_roundtrip", "jsonl_roundtrip", "rpsl_roundtrip",
+    }
+    bnlj_ok = {"ann_brute_topk", "cidr_longest_match"}
+    bad = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name in skip:
+            continue
+        plan = executed_plan_string(fn(spark, SF_DIR))
+        flags = [
+            t for t in ("SortAggregate", "CartesianProduct", "BatchEvalPython")
+            if t in plan
+        ]
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            flags.append("BroadcastNestedLoopJoin")
+        if flags:
+            bad[name] = flags
+    assert not bad, f"plan hazards: {bad}"
