@@ -19,6 +19,8 @@ rows-only entries of __spark_entry__.py) plus the dual-path UDF proofs.
 import hashlib
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from etl_spark.operators import dedup_text, similarity
@@ -312,3 +314,54 @@ def test_ann_ivf_recall_vs_brute_force(spark):
         key = (r["probe_id"], r["neighbor_id"])
         if key in exact_cos:
             assert abs(r["cos"] - exact_cos[key]) < 1e-9
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_cidr_longest_match_property(spark, data):
+    """Random networks (possibly non-canonical, duplicated spellings)
+    and random probe IPs: the fan-out equi-join must agree with a naive
+    per-ip longest-prefix reference."""
+    from etl_spark.operators.cidr import cidr_longest_match
+
+    nets = data.draw(st.lists(
+        st.tuples(st.integers(0, 2**32 - 1), st.integers(0, 32)),
+        min_size=1, max_size=12))
+    ips = data.draw(st.lists(st.integers(0, 2**32 - 1),
+                             min_size=1, max_size=40))
+
+    def dq(v):
+        return f"{(v >> 24) & 255}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
+
+    def canon(addr, plen):
+        pfx = (addr >> (32 - plen)) if plen else 0
+        return (pfx << (32 - plen)) if plen else 0
+
+    # naive reference: longest plen whose canonical prefix covers the ip
+    def ref(ip):
+        best = None
+        for addr, plen in nets:
+            net = canon(addr, plen)
+            covered = plen == 0 or (ip >> (32 - plen)) == (net >> (32 - plen))
+            if covered and (best is None or plen > best[1]):
+                best = (net, plen)
+        return best
+
+    ips_df = spark.createDataFrame(
+        [(i, dq(v)) for i, v in enumerate(ips)], "id int, ip string")
+    nets_df = spark.createDataFrame(
+        [(f"{dq(a)}/{p}",) for a, p in nets], "cidr string")
+    got = {r["id"]: (r["cidr"], r["plen"])
+           for r in cidr_longest_match(ips_df, nets_df).collect()}
+    for i, v in enumerate(ips):
+        want = ref(v)
+        if want is None:
+            assert i not in got
+        else:
+            assert got[i] == (f"{dq(want[0])}/{want[1]}", want[1]), (i, dq(v))
