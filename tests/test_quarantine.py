@@ -106,3 +106,57 @@ def test_preflight_counts(spark):
     ], permissive))
     pf = preflight_counts(bad)
     assert pf == {"total": 502, "null_lsn": 1, "bad_op": 1, "null_key": 1}
+
+
+# --- property: random malformed injections never corrupt state ------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_bad_kinds = st.sampled_from(["bad_op", "null_repo", "null_path"])
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(
+    kinds=st.lists(_bad_kinds, min_size=1, max_size=6),
+    batch_size=st.sampled_from([300, 700, 1500]),
+)
+def test_quarantine_property(spark, tmp_path_factory, kinds, batch_size):
+    """Any mix of malformed events interleaved into a valid log: final
+    state equals the oracle over the valid events alone, every bad row
+    is dead-lettered exactly once with the right reason, accounting
+    stays exact — independent of batch boundaries."""
+    cfg = GenConfig(n_events=1200, n_keys=80, seed=37)
+    good = generate_events(spark, cfg)
+    good_rows = good.collect()
+    hi = max(r["lsn"] for r in good_rows)
+    bad_rows = []
+    want_reasons = {}
+    for j, kind in enumerate(kinds):
+        lsn = hi + 1 + j
+        op = "X" if kind == "bad_op" else "I"
+        repo = None if kind == "null_repo" else "r1"
+        path = None if kind == "null_path" else "p1"
+        bad_rows.append(Row(
+            lsn=lsn, op=op, repo=repo, path=path, commit="c", lang="py",
+            content="z", ts=None, extra=None, schema_change=None))
+        want_reasons[lsn] = "bad_op" if kind == "bad_op" else "null_key"
+    events = good.unionByName(spark.createDataFrame(bad_rows, EVENT_SCHEMA))
+
+    table = SnapshotTable(
+        spark, str(tmp_path_factory.mktemp("qprop") / "lake"), n_buckets=4)
+    ms = replay(spark, events, table, batch_size=batch_size)
+
+    state, dyn = oracle_reduce(good_rows)
+    assert_table_matches_oracle(table.read().collect(), state, dyn)
+    got = {r["lsn"]: r["_reason"] for r in table.read_quarantine().collect()}
+    assert got == want_reasons
+    assert sum(m.quarantined for m in ms) == len(kinds)
+    for m in ms:
+        assert m.events_seen == (m.late_events + m.schema_events
+                                 + m.data_events + m.quarantined)
