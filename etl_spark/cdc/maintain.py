@@ -13,6 +13,7 @@ as empty diffs (rows carry identical ``_last_lsn``).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -88,17 +89,34 @@ def remove_orphans(table: SnapshotTable, min_age_secs: float = 3600.0) -> list[s
     manifest/pointer swap. Dirs newer than ``min_age_secs`` are kept:
     they may be an in-flight commit (the same grace Iceberg's
     remove_orphan_files applies). Committed history is never touched —
-    retention of old versions is ``expire_snapshots``' job."""
+    retention of old versions is ``expire_snapshots``' job.
+
+    Liveness is the union of data-version dirs REFERENCED by every
+    remaining manifest (the same live-set computation expire_snapshots
+    uses), not "this dir's own-version manifest file still exists":
+    bucket-scoped CoW lets the current manifest reference older
+    versions' dirs (e.g. data/v3/_bucket=5 carried forward into v5),
+    and expire_snapshots deletes the old manifest JSONs while keeping
+    those referenced dirs — vacuuming them would silently corrupt the
+    live snapshot."""
     removed: list[str] = []
     data_root = os.path.join(table.root, "data")
+    manifests_dir = os.path.join(table.root, "manifests")
+    live: set[str] = set()
+    for entry in os.listdir(manifests_dir):
+        if not (entry.startswith("v") and entry.endswith(".json")):
+            continue
+        # own-version dir of any committed manifest is live even if the
+        # manifest references no files (empty table commit)
+        live.add(entry[:-5])
+        with open(os.path.join(manifests_dir, entry)) as f:
+            m = json.load(f)
+        for rel in m["files"].values():
+            # bucket dirs live under data/v{K}/_bucket=...; keep v{K}
+            live.add(rel.split("/")[1])
     now = time.time()
     for entry in sorted(os.listdir(data_root)):
-        if not entry.startswith("v"):
-            continue
-        has_manifest = os.path.exists(
-            os.path.join(table.root, "manifests", f"{entry}.json")
-        )
-        if has_manifest:
+        if not entry.startswith("v") or entry in live:
             continue
         path = os.path.join(data_root, entry)
         if now - os.path.getmtime(path) < min_age_secs:

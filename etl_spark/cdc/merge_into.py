@@ -54,6 +54,14 @@ def merge_into(
     lsn = ckpt + 1
     cols = {c.lower() for c in source.columns}
 
+    # Materialize the source ONCE before the guard and the merge read it:
+    # a non-deterministic source (sample/limit/shuffle-order-dependent
+    # input, or a directory mutated between jobs) could otherwise pass
+    # the uniqueness check in job 1 and still deliver duplicates to the
+    # merge in job 2. localCheckpoint pins the evaluated partitions so
+    # both jobs see the same rows.
+    source = source.localCheckpoint(eager=True)
+
     # contract check FIRST — nothing may be committed if the source is
     # ambiguous (one narrow aggregate over the key columns)
     dup = (

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import re
 import shutil
 import urllib.request
 
@@ -89,9 +90,13 @@ def read_rpsl(
     # runs of 3+ newlines produce empty paragraphs; comment-only or
     # whitespace-only blocks carry no attributes and fall out below
     rec = raw.where(F.trim("value") != "")
+    # re.escape: attribute names are caller-supplied; one containing
+    # regex metacharacters ('mnt-routes6.*') must match literally, not
+    # silently change the pattern semantics
     cols = [
-        F.regexp_extract("value", rf"(?m)^{attr}:[ \t]*(.+?)[ \t\r]*$", 1)
-        .alias(out)
+        F.regexp_extract(
+            "value", rf"(?m)^{re.escape(attr)}:[ \t]*(.+?)[ \t\r]*$", 1
+        ).alias(out)
         for out, attr in keys.items()
     ]
     out = rec.select(*cols)

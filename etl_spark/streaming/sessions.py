@@ -110,7 +110,9 @@ def stream_sessionize(
         src = src.option("maxFilesPerTrigger", str(max_files_per_trigger))
     events = src.parquet(events_dir)
     return (
-        events.where(events.op != "S")
+        # null event-time guard: a data event with null ts would fold the
+        # int64 NaT sentinel into session state (corrupt start/end)
+        events.where((events.op != "S") & events.ts.isNotNull())
         .withWatermark("ts", watermark)
         .groupBy(key_col)
         .applyInPandasWithState(

@@ -143,6 +143,35 @@ def test_vacuum_removes_only_uncommitted_debris(spark, replayed):
     assert set(os.listdir(os.path.join(replayed.root, "data"))) == committed
 
 
+def test_vacuum_after_expire_keeps_carried_forward_dirs(spark, replayed):
+    """The documented runbook sequence expire_snapshots -> vacuum must
+    not delete data dirs the LIVE manifest still references. Bucket-
+    scoped CoW carries old versions' bucket dirs forward, and
+    expire_snapshots removes their own-version manifest JSONs — so
+    liveness must come from manifest references, not manifest-file
+    existence (regression: remove_orphans rmtree'd live data)."""
+    # touch ONE key so the newest commit rewrites one bucket and carries
+    # the other seven forward by reference from the previous version
+    from etl_spark.cdc.merge_into import merge_into
+
+    one = spark.createDataFrame(
+        [("carry-repo", "carry/path", "c1", "py", "x = 1")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    merge_into(spark, replayed, one)
+    before = _state(replayed)
+    live_dirs = {d.split("/")[1] for d in replayed.manifest()["files"].values()}
+    assert len(live_dirs) > 1, "fixture must carry forward older version dirs"
+    replayed.expire_snapshots(keep_last=1)
+    old = time.time() - 7200
+    data_root = os.path.join(replayed.root, "data")
+    for entry in os.listdir(data_root):
+        os.utime(os.path.join(data_root, entry), (old, old))
+    removed = remove_orphans(replayed, min_age_secs=3600)
+    assert not (set(removed) & live_dirs)
+    assert _state(replayed) == before
+
+
 def test_rebucket_evolves_routing_keeps_state(spark, log, replayed):
     before = _state(replayed)
     v, ckpt = replayed.version(), replayed.last_lsn()
