@@ -64,7 +64,9 @@ HEADLINE = [
     "windowed_derivative", # S7/A5 time window + lag
     "identity_hash",       # F1/D1 sha256 invariant
     "dedup_exact",         # exact text dedup
-    "minhash_lsh",         # MinHash+LSH near-dup
+    "minhash_lsh",         # MinHash+LSH near-dup (slim band join)
+    "simhash",             # SimHash near-dup (packed-lane JVM signatures)
+    "rolling_fingerprint", # winnowing Karp-Rabin (numpy sliding windows)
     "token_stats",         # tokenization
     "quality_score",       # quality scoring
     "lang_id",             # language id

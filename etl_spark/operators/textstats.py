@@ -11,6 +11,7 @@ rounded floats).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -96,28 +97,37 @@ def fingerprint_md5(col: Column) -> Column:
 def rolling_fingerprint(s: pd.Series) -> pd.Series:
     """Winnowing-style rolling-hash fingerprint (Karp-Rabin over bytes,
     window 8, keep the min hash — a locality-robust document id).
-    Arrow-batched; not SQL-expressible (rows-only oracle check).
+    Arrow-batched, numpy per document: every window's hash is the dot
+    of a stride-tricks sliding view with the power vector, reduced mod
+    2^61-1 — no per-byte Python (the former rolling loop was the
+    corpus bottleneck class at 100 TB). Identical values to the naive
+    per-offset polynomial (the DuckDB oracle computes it that way).
     """
     B, MOD, W = 257, (1 << 61) - 1, 8
+    POW = np.array([B ** (W - 1 - j) for j in range(W)], dtype=np.uint64)
+    P7 = B ** (W - 1)  # 257^7 < 2^57, but byte*P7 can exceed 2^64:
+    CARRY_AT = -(-(1 << 64) // P7)  # smallest byte whose product wraps
+    WRAP = np.uint64((1 << 64) % MOD)  # 2^64 mod p, the wrap correction
 
     def fp(text):
         if text is None:
             return None
-        data = text.encode("utf-8")
-        if len(data) < W:
-            h = 0
-            for b in data:
-                h = (h * B + b) % MOD
-            return h
-        pw = pow(B, W - 1, MOD)
-        h, best = 0, None
-        for i, b in enumerate(data):
-            if i >= W:
-                h = (h - data[i - W] * pw) % MOD
-            h = (h * B + b) % MOD
-            if i >= W - 1:
-                best = h if best is None or h < best else best
-        return best
+        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        n = len(data)
+        if n < W:
+            # short doc: one polynomial over all bytes (< 255*sum(B^j),
+            # fits). Modulus as np.uint64: a python-int rhs would
+            # silently promote the uint64 dot to float64
+            return int((data @ POW[W - n:]) % np.uint64(MOD)) if n else 0
+        win = np.lib.stride_tricks.sliding_window_view(data, W)
+        # tail dot (7 low-order terms) <= 255*(B^6+..+1) ~ 7.4e16: exact
+        tail = win[:, 1:] @ POW[1:]
+        # head term byte*B^7 may wrap uint64 exactly once (byte >= 250);
+        # add back 2^64 mod p where it did — all sums stay < 2^63
+        head = win[:, 0] * np.uint64(P7)
+        carry = (win[:, 0] >= CARRY_AT).astype(np.uint64)
+        h = (head % np.uint64(MOD) + carry * WRAP + tail) % np.uint64(MOD)
+        return int(h.min())
 
     return s.map(fp)
 

@@ -41,6 +41,22 @@ def read_schema_columns(df: DataFrame) -> set[str]:
     return cols
 
 
+def exchange_inputs(df: DataFrame) -> list[tuple[str, set[str]]]:
+    """(arguments, input-column-names) per Exchange node — i.e. what
+    actually crosses each shuffle. Lets tests pin that wide columns
+    (arrays, content) don't ride a shuffle they don't need to."""
+    import re
+
+    plan = formatted_plan(df)
+    out: list[tuple[str, set[str]]] = []
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: ([^\n]*)", plan
+    ):
+        cols = {c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()}
+        out.append((m.group(2), cols))
+    return out
+
+
 def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 

@@ -101,6 +101,89 @@ def test_minhash_signature_paths_agree(planted_docs):
     assert via_agg == via_expr
 
 
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5, _M64 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5, (1 << 64) - 1
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """Reference XXH64 (the algorithm behind Spark's xxhash64), signed."""
+    n, i = len(data), 0
+    if n >= 32:
+        v = [(seed + _P1 + _P2) & _M64, (seed + _P2) & _M64, seed, (seed - _P1) & _M64]
+        while i + 32 <= n:
+            for j in range(4):
+                k = int.from_bytes(data[i:i + 8], "little")
+                v[j] = (_rotl((v[j] + k * _P2) & _M64, 31) * _P1) & _M64
+                i += 8
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)) & _M64
+        for j in range(4):
+            k = (_rotl((v[j] * _P2) & _M64, 31) * _P1) & _M64
+            h = ((h ^ k) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i:i + 8], "little") * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h ^ k, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = (_rotl(h ^ ((int.from_bytes(data[i:i + 4], "little") * _P1) & _M64), 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _ref_simhash(text):
+    """Independent sign-sum SimHash over the pure-Python XXH64."""
+    import re as _re
+
+    if text is None:
+        return None
+    toks = [t for t in _re.split(r"\s+", text.strip().lower()) if t]
+    if not toks:
+        return 0
+    v = [0] * 64
+    for t in toks:
+        h = _xxh64(t.encode("utf-8")) & _M64
+        for i in range(64):
+            v[i] += 1 if (h >> i) & 1 else -1
+    sig = 0
+    for i in range(64):
+        if v[i] > 0:
+            sig |= 1 << i
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_signatures_match_independent_reference(spark):
+    """The JVM codegen path (explode + xxhash64 + 64 sign-sums) equals a
+    from-scratch Python XXH64 + sign-sum reference — including empty,
+    whitespace-only, null, and long texts. Also pins that Spark's
+    xxhash64 IS XXH64 seed 42 (guards the reference itself)."""
+    toks = ["hello", "a", "0123456789abcdef0123456789abcdef_long_token_over_32_bytes"]
+    jvm = spark.createDataFrame([(t,) for t in toks], "t string").select(
+        F.xxhash64("t").alias("h")).collect()
+    assert [r["h"] for r in jvm] == [_xxh64(t.encode()) for t in toks]
+
+    texts = [BASE, BASE + " tail", "", "   ", None, "one", "repeat repeat repeat",
+             "mixed 123 ! tokens\twith\ttabs\nand newlines"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["id"]: r["sig"] for r in dedup_text.simhash_signatures(df).collect()}
+    want = {i: _ref_simhash(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
 def test_simhash_bands_and_hamming(spark, planted_docs):
     pairs = dedup_text.simhash_pairs(planted_docs, max_hamming=16)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}

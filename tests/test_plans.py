@@ -156,6 +156,51 @@ def test_cidr_join_is_broadcast_equi_join(spark):
     assert "HashAggregate" in plan and "SortAggregate" not in plan
 
 
+def test_minhash_band_shuffle_is_slim(spark):
+    """The LSH band self-join must shuffle only fixed-width columns
+    (id, band, bh) — the n_hashes-long signature array attaches AFTER
+    pair dedup via id equi-joins, never riding the band exchange.
+    Broadcast is disabled so the join plans the way it would at corpus
+    scale (shuffle join with a real band exchange); and the signature
+    aggregation subtree must be computed ONCE (ReusedExchange), not
+    re-scanned per self-join side / attach join."""
+    from etl_spark.plans.explain import exchange_inputs
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        df = QUERIES["minhash_lsh"](spark, SF_DIR)
+        band_exchanges = [
+            (args, cols) for args, cols in exchange_inputs(df)
+            if {"band", "bh"} & cols
+        ]
+        assert band_exchanges, "expected a band-keyed exchange in the plan"
+        for args, cols in band_exchanges:
+            assert cols <= {"id", "band", "bh"}, (
+                f"wide column crosses the band exchange: {cols}")
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "ReusedExchange" in executed, (
+            "signature subtree must be shared across self-join sides")
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_simhash_chunk_shuffle_is_slim(spark):
+    """Same property for SimHash banding: every (band, chunk)-keyed
+    exchange carries only fixed-width columns — the text column rides
+    only the fan_out repartition of the input scan itself, never a
+    banding shuffle."""
+    from etl_spark.plans.explain import exchange_inputs
+
+    df = QUERIES["simhash"](spark, SF_DIR)
+    for args, cols in exchange_inputs(df):
+        if "band" in cols or "chunk" in cols:
+            assert "text" not in cols and "toks" not in cols, (
+                f"wide column crosses a banding exchange: {cols}")
+
+
 def test_no_plan_hazards_across_query_library(spark):
     """Sweep: no query's physical plan may contain a SortAggregate, a
     CartesianProduct, or row-at-a-time Python — and non-equi nested-loop
