@@ -527,13 +527,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
+        # Recompute every header-derived field of the synthesized media
+        # from the deterministic generation rule (multimodal.py
+        # synthesize_media): even doc_id -> 24-bit BMP with dims
+        # ((n%31)+1, (n%19)+1) and 4-byte-padded rows; odd -> PCM16 mono
+        # WAV at 8 kHz with one sample per utf-8 byte (>=1). The Spark
+        # side derives the same values by PARSING the actual bytes — a
+        # hash mismatch means the codec pair disagrees somewhere.
         "multimodal_features": """
+            WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+                       FROM documents)
             SELECT doc_id AS media_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   sha256(text) AS sha256,
-                   CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width,
-                   CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height
-            FROM documents
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN 54 + ((3 * ((n % 31) + 1) + 3) // 4) * 4
+                                  * ((n % 19) + 1)
+                        ELSE 44 + 2 * greatest(n, 1) END AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN (n % 31) + 1 ELSE -1 END AS INT) AS width,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN (n % 19) + 1 ELSE -1 END AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT)
+                       AS channels,
+                   CAST(CASE WHEN doc_id % 2 = 1
+                        THEN 8000 ELSE -1 END AS INT) AS sample_rate,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN CAST(greatest(n, 1) AS DOUBLE) / 8
+                        ELSE CAST(-1 AS DOUBLE) END AS duration_ms
+            FROM d
         """,
         # Karp-Rabin winnowing fingerprint replicated in pure SQL: utf-8
         # bytes via hex(encode(text)), window-8 polynomial hashes mod

@@ -827,13 +827,28 @@ def q_embedding_neardup_exact(spark, sf_dir) -> DataFrame:
 
 
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
-    """Multimodal plumbing: binary payload -> mapInPandas feature extract.
-    (decode stubbed deterministically — see operators/multimodal.py)."""
+    """Multimodal decode: REAL BMP/WAV bytes synthesized from the text
+    column, then parsed back by the spec-driven binary decoders inside
+    mapInPandas (operators/multimodal.py). The oracle recomputes every
+    header-derived field (payload size, image dimensions, channel
+    count, sample rate, duration) from the deterministic generation
+    rule in pure SQL — a hash mismatch means encoder and decoder
+    disagree about the byte layout for some document."""
     _prep(spark)
     docs = table(spark, sf_dir, "documents")
     media = synthesize_media(docs)
-    return extract_features(media).select(
-        "media_id", "n_bytes", "sha256", "width", "height"
+    feats = extract_features(media)
+    # not-applicable fields surface as -1 here (nulls stay in the
+    # library API): nullable ints round-trip as float64/NaN through the
+    # harness's pandas fetch, which breaks the value hash spuriously
+    na = F.lit(-1)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.coalesce("width", na).alias("width"),
+        F.coalesce("height", na).alias("height"),
+        F.coalesce("channels", na).alias("channels"),
+        F.coalesce("sample_rate", na).alias("sample_rate"),
+        F.coalesce("duration_ms", na.cast("double")).alias("duration_ms"),
     )
 
 

@@ -327,28 +327,116 @@ def test_replay_arrow_path_matches_default(spark, tmp_path):
 # multimodal plumbing
 # --------------------------------------------------------------------------
 
-def test_multimodal_features_exact(spark):
-    docs = spark.createDataFrame(
-        [(1, "abc"), (2, ""), (3, "a longer payload body " * 10)],
-        "doc_id long, text string",
+def test_bmp_decode_hand_built_fixture():
+    """Decode a 2x3 24-bit BMP whose 54 header bytes + padded raster are
+    written out literally here (not via encode_bmp) — proves the decoder
+    reads the spec, not merely whatever our encoder happens to emit."""
+    import struct
+
+    from etl_spark.operators.multimodal import decode_bmp
+
+    w, h = 2, 3
+    row = b"\x10\x20\x30\x40\x50\x60\x00\x00"  # 2 px * 3B + 2B pad = 8
+    payload = (
+        b"BM" + struct.pack("<I", 54 + 8 * h) + b"\x00\x00\x00\x00"
+        + struct.pack("<I", 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 8 * h, 0, 0, 0, 0)
+        + row * h
     )
-    media = synthesize_media(docs)
-    got = {r["media_id"]: r for r in extract_features(media).collect()}
-    for i, text in [(1, "abc"), (2, ""), (3, "a longer payload body " * 10)]:
+    got = decode_bmp(payload)
+    assert got == {"width": 2, "height": 3, "bpp": 24, "data_offset": 54}
+    # top-down variant (negative height) reports |height|
+    td = bytearray(payload)
+    td[22:26] = struct.pack("<i", -h)
+    assert decode_bmp(bytes(td))["height"] == 3
+
+
+def test_wav_decode_hand_built_fixture():
+    """Decode a hand-packed PCM16 stereo WAV with an extra chunk BEFORE
+    fmt/data (chunk-walk correctness), 4 samples at 44100 Hz."""
+    import struct
+
+    from etl_spark.operators.multimodal import decode_wav
+
+    body = struct.pack("<8h", 0, 1000, -1000, 32767, -32768, 5, -5, 42)  # 4 frames x 2ch
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + len(junk) + len(fmt) + 8 + len(body))
+        + b"WAVE" + junk + fmt + b"data" + struct.pack("<I", len(body)) + body
+    )
+    got = decode_wav(payload)
+    assert got["channels"] == 2 and got["sample_rate"] == 44100
+    assert got["bits"] == 16 and got["n_samples"] == 4
+    assert abs(got["duration_ms"] - 4000.0 / 44100) < 1e-12
+
+
+def test_codec_roundtrip_and_malformed():
+    from etl_spark.operators.multimodal import (
+        bmp_row_bytes, decode_bmp, decode_wav, encode_bmp, encode_wav)
+
+    data = bytes(range(256)) * 3
+    bmp = encode_bmp(data, 31, 19)
+    assert decode_bmp(bmp) == {"width": 31, "height": 19, "bpp": 24,
+                               "data_offset": 54}
+    assert len(bmp) == 54 + bmp_row_bytes(31) * 19
+    wav = encode_wav(data)
+    got = decode_wav(wav)
+    assert got["n_samples"] == len(data) and got["sample_rate"] == 8000
+    assert len(wav) == 44 + 2 * len(data)
+    # cross-sniff and malformed bytes decode to None, never raise
+    assert decode_bmp(wav) is None and decode_wav(bmp) is None
+    for junk in (b"", b"BM", b"RIFFxxxxWAVE", b"\x00" * 100, None):
+        assert decode_bmp(junk) is None and decode_wav(junk) is None
+
+
+def test_multimodal_features_exact(spark):
+    """End-to-end through Spark: synthesized REAL media bytes decode to
+    header fields matching the generation rule; payload stats are exact."""
+    from etl_spark.operators.multimodal import encode_bmp, encode_wav
+
+    texts = [(2, "abc"), (4, ""), (6, "a longer payload body " * 10),
+             (1, "pcm audio text"), (3, "")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["media_id"]: r for r in extract_features(synthesize_media(docs)).collect()}
+    for i, text in texts:
         b = text.encode()
-        assert got[i]["n_bytes"] == len(b)
-        assert got[i]["sha256"] == hashlib.sha256(b).hexdigest()
-        assert got[i]["width"] == (len(b) % 640) + 1
-        assert got[i]["height"] == (len(b) % 480) + 1
+        if i % 2 == 0:
+            w, h = (len(b) % 31) + 1, (len(b) % 19) + 1
+            payload = encode_bmp(b, w, h)
+            assert (got[i]["width"], got[i]["height"]) == (w, h)
+            assert got[i]["channels"] == 3
+            assert got[i]["sample_rate"] is None and got[i]["duration_ms"] is None
+        else:
+            payload = encode_wav(b)
+            assert got[i]["channels"] == 1 and got[i]["sample_rate"] == 8000
+            assert got[i]["duration_ms"] == 1000.0 * max(len(b), 1) / 8000
+            assert got[i]["width"] is None and got[i]["height"] is None
+        assert got[i]["n_bytes"] == len(payload)
+        assert got[i]["sha256"] == hashlib.sha256(payload).hexdigest()
         assert len(got[i]["feature"]) == 16
-        assert abs(sum(got[i]["feature"]) - (1.0 if b else 0.0)) < 1e-5
+        assert abs(sum(got[i]["feature"]) - 1.0) < 1e-5
+
+
+def test_multimodal_malformed_payload_yields_nulls(spark):
+    media = spark.createDataFrame(
+        [(1, "image", "image/bmp", bytearray(b"not a bitmap at all"), {})],
+        schema="media_id long, kind string, mime string, payload binary, "
+               "meta map<string,string>",
+    )
+    r = extract_features(media).collect()[0]
+    assert r["width"] is None and r["sample_rate"] is None
+    assert r["n_bytes"] == 19  # stats still computed
 
 
 def test_frame_sample_offsets(spark):
+    from etl_spark.operators.multimodal import encode_wav
+
     docs = spark.createDataFrame([(7, "z" * 2500)], "doc_id long, text string")
     rows = frame_sample(synthesize_media(docs), every_n_bytes=1024).collect()
-    assert sorted(r["offset"] for r in rows) == [0, 1024, 2048]
-    payload = b"z" * 2500
+    payload = encode_wav(b"z" * 2500)  # odd id -> WAV, 44 + 5000 bytes
+    want_offsets = list(range(0, len(payload), 1024))
+    assert sorted(r["offset"] for r in rows) == want_offsets
     for r in rows:
         want = hashlib.sha256(payload[r["offset"]: r["offset"] + 1024]).hexdigest()
         assert r["chunk_sha256"] == want
