@@ -286,6 +286,56 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN best b USING (event_id, plen) GROUP BY 1)
             SELECT cidr, count(*) AS n_rows FROM m GROUP BY cidr
         """,
+        # IPv6 longest-prefix match in native 128-bit HUGEINT arithmetic:
+        # the probe address is recomputed numerically from the same
+        # user_id/event_id derivation the Spark query uses to BUILD the
+        # compressed string form, so a hash match proves the engine's
+        # '::'-expanding string parser + two-long prefix masking agree
+        # with exact 128-bit integer containment for every event row.
+        "cidr6_longest_match": """
+            WITH ips AS (
+              SELECT event_id,
+                     CAST(8193 AS HUGEINT) * 5192296858534827628530496329220096
+                     + CAST(3512 AS HUGEINT) * 79228162514264337593543950336
+                     + CAST(user_id % 16 AS HUGEINT) * 1208925819614629174706176
+                     + CAST((user_id * 7) % 65536 AS HUGEINT) * 65536
+                     + CAST(event_id % 65536 AS HUGEINT) AS ipv
+              FROM events),
+            nets AS (
+              SELECT * FROM (VALUES
+                ('0000:0000:0000:0000:0000:0000:0000:0000/0',
+                 CAST(0 AS HUGEINT), 0),
+                ('2001:0000:0000:0000:0000:0000:0000:0000/16',
+                 CAST(8193 AS HUGEINT) * 5192296858534827628530496329220096, 16),
+                ('2001:0db8:0000:0000:0000:0000:0000:0000/32',
+                 CAST(8193 AS HUGEINT) * 5192296858534827628530496329220096
+                 + CAST(3512 AS HUGEINT) * 79228162514264337593543950336, 32),
+                ('2001:0db8:0005:0000:0000:0000:0000:0000/48',
+                 CAST(8193 AS HUGEINT) * 5192296858534827628530496329220096
+                 + CAST(3512 AS HUGEINT) * 79228162514264337593543950336
+                 + CAST(5 AS HUGEINT) * 1208925819614629174706176, 48),
+                ('2001:0db8:0005:0000:0000:0000:0000:0000/64',
+                 CAST(8193 AS HUGEINT) * 5192296858534827628530496329220096
+                 + CAST(3512 AS HUGEINT) * 79228162514264337593543950336
+                 + CAST(5 AS HUGEINT) * 1208925819614629174706176, 64),
+                ('2001:0db8:000c:0000:0000:0000:0000:0000/46',
+                 CAST(8193 AS HUGEINT) * 5192296858534827628530496329220096
+                 + CAST(3512 AS HUGEINT) * 79228162514264337593543950336
+                 + CAST(12 AS HUGEINT) * 1208925819614629174706176, 46),
+                ('2001:0db9:0000:0000:0000:0000:0000:0000/32',
+                 CAST(8193 AS HUGEINT) * 5192296858534827628530496329220096
+                 + CAST(3513 AS HUGEINT) * 79228162514264337593543950336, 32)
+              ) AS t(cidr, netv, plen)),
+            cand AS (
+              SELECT i.event_id, n.cidr, n.plen
+              FROM ips i JOIN nets n
+                ON (i.ipv >> (128 - n.plen)) = (n.netv >> (128 - n.plen))),
+            best AS (SELECT event_id, max(plen) AS plen FROM cand GROUP BY 1),
+            m AS (
+              SELECT c.event_id, min(c.cidr) AS cidr
+              FROM cand c JOIN best b USING (event_id, plen) GROUP BY 1)
+            SELECT cidr, count(*) AS n_rows FROM m GROUP BY cidr
+        """,
         "csv_roundtrip": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -1,4 +1,4 @@
-"""CIDR containment / longest-prefix-match join — J8.
+"""CIDR containment / longest-prefix-match join — J8 (IPv4 and IPv6).
 
 Reference semantics: ``geoinfo/main.py:372-412`` builds a radix tree and
 calls ``search_covering`` per row — a driver-side loop that cannot
@@ -64,6 +64,158 @@ def long_to_cidr(prefix_col: str, plen_col: str):
         f"CAST(shiftright({addr}, 16) & 255 AS STRING), '.',"
         f"CAST(shiftright({addr}, 8) & 255 AS STRING), '.',"
         f"CAST({addr} & 255 AS STRING), '/', CAST({plen_col} AS STRING))"
+    )
+
+
+# --------------------------------------------------------------------------
+# IPv6 (reference parity: route6 records and IPv6 GeoLite blocks,
+# geoinfo/geoinfo.py:88-116 parse, :258-316 the ipv6 merge pipeline)
+# --------------------------------------------------------------------------
+
+def ip6_parse(col):
+    """IPv6 string -> (valid, hi, lo) expressions: the 128-bit address
+    as two longs (bits 127..64 and 63..0, unsigned-in-signed). Handles
+    '::' compression anywhere (including leading/trailing/sole '::');
+    IPv4-embedded tails ('::ffff:1.2.3.4') and malformed strings parse
+    as valid=false — callers drop them instead of mis-matching. All
+    whole-stage codegen: split/filter/conv/shift, no UDF."""
+    dc = F.split(col, "::")
+    has_dc = F.size(dc) == 2
+    empty = F.array().cast("array<string>")
+    left = F.filter(F.split(dc[0], ":"), lambda x: x != "")
+    right = F.when(
+        has_dc, F.filter(F.split(F.element_at(dc, 2), ":"), lambda x: x != "")
+    ).otherwise(empty)
+    mid = F.when(
+        has_dc, F.array_repeat(F.lit("0"), 8 - F.size(left) - F.size(right))
+    ).otherwise(empty)
+    groups = F.concat(left, mid, right)
+    valid = (
+        col.rlike("^[0-9a-fA-F:]+$")
+        & ~col.contains(":::")
+        & (F.size(dc) <= 2)
+        & (F.size(groups) == 8)
+        & F.forall(groups, lambda g: (F.length(g) >= 1) & (F.length(g) <= 4))
+    )
+    hx = [
+        F.conv(F.element_at(groups, i + 1), 16, 10).cast("long") for i in range(8)
+    ]
+    hi = (
+        F.shiftleft(hx[0], 48)
+        .bitwiseOR(F.shiftleft(hx[1], 32))
+        .bitwiseOR(F.shiftleft(hx[2], 16))
+        .bitwiseOR(hx[3])
+    )
+    lo = (
+        F.shiftleft(hx[4], 48)
+        .bitwiseOR(F.shiftleft(hx[5], 32))
+        .bitwiseOR(F.shiftleft(hx[6], 16))
+        .bitwiseOR(hx[7])
+    )
+    return valid, hi, lo
+
+
+# top-k-bit mask of one 64-bit lane, k a COLUMN (SQL form: shiftleft with
+# a column bit count has no Column-API overload)
+def _lane_mask(k: str) -> str:
+    return (
+        f"CASE WHEN {k} <= 0 THEN CAST(0 AS BIGINT) "
+        f"WHEN {k} >= 64 THEN CAST(-1 AS BIGINT) "
+        f"ELSE shiftleft(CAST(-1 AS BIGINT), 64 - {k}) END"
+    )
+
+
+def _mask6(df: DataFrame, hi: str, lo: str, plen: str) -> DataFrame:
+    """Truncate (hi, lo) to the top ``plen`` bits (left-aligned masks —
+    the canonical network address, so equal prefixes compare equal)."""
+    return (
+        df.withColumn("_khi", F.least(F.col(plen), F.lit(64)))
+        .withColumn("_klo", F.greatest(F.col(plen) - 64, F.lit(0)))
+        .withColumn("pfx_hi", F.col(hi).bitwiseAND(F.expr(_lane_mask("_khi"))))
+        .withColumn("pfx_lo", F.col(lo).bitwiseAND(F.expr(_lane_mask("_klo"))))
+        .drop("_khi", "_klo", hi, lo)
+    )
+
+
+def parse_cidr6(df: DataFrame, cidr_col: str = "cidr") -> DataFrame:
+    """Add (plen, pfx_hi, pfx_lo) parsed from 'h:h::h/len'; non-parseable
+    or out-of-range rows are dropped. Non-canonical network addresses
+    (bits set beyond the prefix) are truncated, so duplicate spellings
+    of one network collapse."""
+    s = F.split(F.col(cidr_col), "/")
+    valid, hi, lo = ip6_parse(s.getItem(0))
+    out = (
+        df.withColumn("plen", s.getItem(1).cast("int"))
+        .withColumn("_v", valid)
+        .withColumn("_hi", hi)
+        .withColumn("_lo", lo)
+        .where(F.col("_v") & F.col("plen").between(0, 128))
+        .drop("_v")
+    )
+    return _mask6(out, "_hi", "_lo", "plen")
+
+
+def long_to_cidr6(pfx_hi: str, pfx_lo: str, plen: str):
+    """(hi, lo, plen) column NAMES -> canonical full-form IPv6 CIDR
+    string: eight lowercase zero-padded hextets ('2001:0db8:...:0000/32'
+    — the uncompressed RFC 5952 §2 form, chosen so both engines format
+    identically without a compression algorithm)."""
+    hexts = []
+    for lane in (pfx_hi, pfx_lo):
+        for i in range(4):
+            h = F.shiftrightunsigned(F.col(lane), 48 - 16 * i).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            hexts.append(F.lpad(F.lower(F.hex(h)), 4, "0"))
+    return F.concat(
+        F.concat_ws(":", *hexts), F.lit("/"), F.col(plen).cast("string")
+    )
+
+
+def cidr6_longest_match(
+    ips: DataFrame,
+    networks: DataFrame,
+    ip_col: str = "ip",
+    cidr_col: str = "cidr",
+) -> DataFrame:
+    """IPv6 longest-prefix match — same plan shape as the v4 operator
+    (prefix-length fan-out equi-join, see module docstring) with the
+    128-bit address carried as two longs. The equi-join key is
+    (plen, pfx_hi, pfx_lo); the winner per probe is one HashAggregate
+    of max(plen) + max_by(prefix lanes, plen) — deterministic because
+    after network dedup each (ip, plen) has at most one candidate.
+    Returns input columns + (cidr, plen), cidr canonical full-form."""
+    nets = (
+        parse_cidr6(networks, cidr_col)
+        .select("plen", "pfx_hi", "pfx_lo")
+        .dropDuplicates(["plen", "pfx_hi", "pfx_lo"])
+    )
+    plens = nets.select("plen").distinct()
+
+    valid, hi, lo = ip6_parse(F.col(ip_col))
+    probe = (
+        ips.withColumn("_v", valid)
+        .withColumn("_iphi", hi)
+        .withColumn("_iplo", lo)
+        .where(F.col("_v"))
+        .drop("_v")
+    )
+    cand = (
+        probe.join(F.broadcast(plens))
+        .withColumn("_khi", F.least(F.col("plen"), F.lit(64)))
+        .withColumn("_klo", F.greatest(F.col("plen") - 64, F.lit(0)))
+        .withColumn("pfx_hi", F.col("_iphi").bitwiseAND(F.expr(_lane_mask("_khi"))))
+        .withColumn("pfx_lo", F.col("_iplo").bitwiseAND(F.expr(_lane_mask("_klo"))))
+        .join(F.broadcast(nets), ["plen", "pfx_hi", "pfx_lo"])
+    )
+    win = cand.groupBy(ip_col).agg(
+        F.max("plen").alias("plen"),
+        F.max_by("pfx_hi", "plen").alias("pfx_hi"),
+        F.max_by("pfx_lo", "plen").alias("pfx_lo"),
+    )
+    return ips.join(win, ip_col).select(
+        *ips.columns, "plen",
+        long_to_cidr6("pfx_hi", "pfx_lo", "plen").alias(cidr_col),
     )
 
 

@@ -607,6 +607,41 @@ def q_cidr_longest_match(spark, sf_dir) -> DataFrame:
     return m.groupBy("cidr").agg(F.count("*").alias("n_rows"))
 
 
+CIDR6_NETWORKS = [
+    "::/0",
+    "2001::/16",
+    "2001:db8::/32",
+    "2001:db8:5::/48",
+    "2001:db8:5:0::/64",      # longer spelling of the /48 subtree: wins for g1=5
+    "2001:db8:c::/46",        # odd length: covers hextet-2 values 0xc..0xf
+    "2001:db9::/32",          # sibling, matches nothing
+    "2001:db8:5:ffff::/48",   # non-canonical dup spelling of the /48 (truncates)
+]
+
+
+def q_cidr6_longest_match(spark, sf_dir) -> DataFrame:
+    """J8 (IPv6): 128-bit longest-prefix match over two-long prefixes
+    (reference: route6 records + IPv6 GeoLite merge,
+    geoinfo/geoinfo.py:88-116, :258-316). Probe strings exercise '::'
+    compression; the oracle recomputes the match in DuckDB HUGEINT
+    (native 128-bit) arithmetic."""
+    from .operators.cidr import cidr6_longest_match
+
+    _prep(spark)
+    ev = table(spark, sf_dir, "events")
+    g1 = (F.col("user_id") % 16).cast("long")
+    g2 = ((F.col("user_id") * 7) % 65536).cast("long")
+    g3 = (F.col("event_id") % 65536).cast("long")
+    ip = F.concat(
+        F.lit("2001:db8:"), F.lower(F.hex(g1)), F.lit("::"),
+        F.lower(F.hex(g2)), F.lit(":"), F.lower(F.hex(g3)),
+    )
+    probes = ev.select("event_id", ip.alias("ip"))
+    nets = spark.createDataFrame([(c,) for c in CIDR6_NETWORKS], "cidr string")
+    m = cidr6_longest_match(probes, nets, ip_col="ip", cidr_col="cidr")
+    return m.groupBy("cidr").agg(F.count("*").alias("n_rows"))
+
+
 def q_csv_roundtrip(spark, sf_dir) -> DataFrame:
     """K8+S11: single-file CSV write + schema'd CSV read-back, then an
     aggregate over the re-read data (reference: geoinfo/main.py:259-267
@@ -867,6 +902,7 @@ QUERIES = {
     "coalesce_content_merge": q_coalesce_content_merge,
     "merge_into_snapshot": q_merge_into_snapshot,
     "cidr_longest_match": q_cidr_longest_match,
+    "cidr6_longest_match": q_cidr6_longest_match,
     "csv_roundtrip": q_csv_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "rpsl_roundtrip": q_rpsl_roundtrip,

@@ -464,6 +464,87 @@ def test_cidr_longest_match_semantics(spark):
     assert got[4] == ("10.1.2.0/24", 24)
 
 
+def test_cidr6_longest_match_semantics(spark):
+    from etl_spark.operators.cidr import cidr6_longest_match
+
+    ips = spark.createDataFrame(
+        [(1, "2001:db8:5::1"), (2, "2001:db8:c:0:0:0:7:8"), (3, "2001:db9::1"),
+         (4, "::1"), (5, "2001:0db8:0005:0000::ffff"), (6, "fe80::"),
+         (7, "not-an-ip"), (8, "::ffff:1.2.3.4"), (9, "1:2:3:4:5:6:7:8:9")],
+        "id long, ip string",
+    )
+    nets = spark.createDataFrame(
+        [("2001::/16",), ("2001:db8::/32",), ("2001:db8:5::/48",),
+         ("2001:db8:5:0::/64",), ("2001:db8:c::/46",), ("::/0",),
+         ("2001:db8:5:ffff::/48",)],  # non-canonical dup of the /48
+        "cidr string",
+    )
+    got = {r["id"]: (r["cidr"], r["plen"])
+           for r in cidr6_longest_match(ips, nets).collect()}
+    full5 = "2001:0db8:0005:0000:0000:0000:0000:0000"
+    assert got[1] == (f"{full5}/64", 64), "deepest covering prefix wins"
+    assert got[2] == ("2001:0db8:000c:0000:0000:0000:0000:0000/46", 46)
+    assert got[3] == ("2001:0000:0000:0000:0000:0000:0000:0000/16", 16)
+    assert got[4] == ("0000:0000:0000:0000:0000:0000:0000:0000/0", 0)
+    assert got[5] == (f"{full5}/64", 64), "uncompressed spelling parses too"
+    assert got[6][1] == 0, "default route catches everything parseable"
+    # malformed / unsupported-embedded-v4 / 9-group probes drop, not match
+    assert 7 not in got and 8 not in got and 9 not in got
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_cidr6_longest_match_property(spark, data):
+    """Random 128-bit networks (compressed spellings via stdlib
+    ipaddress, non-canonical host bits allowed) and random probes: the
+    two-long fan-out equi-join must agree with stdlib containment."""
+    import ipaddress
+
+    from etl_spark.operators.cidr import cidr6_longest_match
+
+    nets = data.draw(st.lists(
+        st.tuples(st.integers(0, 2**128 - 1), st.integers(0, 128)),
+        min_size=1, max_size=10))
+    ips = data.draw(st.lists(st.integers(0, 2**128 - 1),
+                             min_size=1, max_size=25))
+    netobjs = [(ipaddress.IPv6Network((addr & (((1 << p) - 1) << (128 - p))
+                                       if p else 0, p)), addr, p)
+               for addr, p in nets]
+
+    def ref(v):
+        a = ipaddress.IPv6Address(v)
+        best = None
+        for n, _, _ in netobjs:
+            if a in n and (best is None or n.prefixlen > best.prefixlen):
+                best = n
+        return best
+
+    ips_df = spark.createDataFrame(
+        [(i, str(ipaddress.IPv6Address(v))) for i, v in enumerate(ips)],
+        "id int, ip string")
+    # spell networks with their ORIGINAL (possibly non-canonical) address
+    nets_df = spark.createDataFrame(
+        [(f"{ipaddress.IPv6Address(addr)}/{p}",) for addr, p in nets],
+        "cidr string")
+    got = {r["id"]: (r["cidr"], r["plen"])
+           for r in cidr6_longest_match(ips_df, nets_df).collect()}
+    for i, v in enumerate(ips):
+        want = ref(v)
+        if want is None:
+            assert i not in got
+        else:
+            assert got[i] == (
+                f"{want.network_address.exploded}/{want.prefixlen}",
+                want.prefixlen,
+            ), (i, str(ipaddress.IPv6Address(v)))
+
+
 def test_ann_ivf_recall_vs_brute_force(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     probes = emb.where(F.col("vec_id") < 20)

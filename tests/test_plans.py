@@ -218,7 +218,7 @@ def test_no_plan_hazards_across_query_library(spark):
         "time_travel_incremental", "changelog_feed", "mirror_sync",
         "scd2_history", "csv_roundtrip", "jsonl_roundtrip", "rpsl_roundtrip",
     }
-    bnlj_ok = {"ann_brute_topk", "cidr_longest_match"}
+    bnlj_ok = {"ann_brute_topk", "cidr_longest_match", "cidr6_longest_match"}
     bad = {}
     for name, fn in sorted(QUERIES.items()):
         if name in skip:
