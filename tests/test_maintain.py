@@ -59,9 +59,10 @@ def _apply_feed(rows):
 
 
 def test_changelog_diffs_are_bucket_scoped():
-    """The per-version diff scans only buckets whose manifest reference
-    changed — the property that keeps CDF cost O(update footprint)."""
-    from etl_spark.cdc.changelog import _changed_buckets
+    """Diff tags cover only dirs whose manifest reference changed — the
+    property that keeps CDF cost O(update footprint) — and each distinct
+    dir is tagged at most twice (new side once, old side once)."""
+    from etl_spark.cdc.changelog import _dir_tags
 
     m_old = {"files": {"0": "data/v1/_bucket=0", "1": "data/v1/_bucket=1",
                        "3": "data/v1/_bucket=3"}}
@@ -69,7 +70,71 @@ def test_changelog_diffs_are_bucket_scoped():
                        "1": "data/v2/_bucket=1",      # rewritten
                        "2": "data/v2/_bucket=2"}}     # new bucket
     # 3 disappeared (all rows deleted) -> must be scanned for deletes
-    assert _changed_buckets(m_old, m_new) == [1, 2, 3]
+    tags = _dir_tags({1: m_old, 2: m_new}, 1, 2)
+    assert sorted(tags) == [
+        ("data/v1/_bucket=1", 2, "o"),
+        ("data/v1/_bucket=3", 2, "o"),
+        ("data/v2/_bucket=1", 2, "n"),
+        ("data/v2/_bucket=2", 2, "n"),
+    ]
+    # a dir rewritten at v2 then again at v3 is old-side of v3 once
+    m_3 = {"files": {"0": "data/v3/_bucket=0", "1": "data/v3/_bucket=1"}}
+    tags = _dir_tags({1: m_old, 2: m_new, 3: m_3}, 1, 3)
+    assert tags.count(("data/v2/_bucket=1", 3, "o")) == 1
+    assert all(tags.count(t) == 1 for t in tags)
+
+
+def test_changelog_long_history_constant_plan(spark, tmp_path):
+    """A 200-commit interval reads as ONE constant-depth plan — parquet
+    scan count independent of commit count (the naive shape, one
+    full-outer join unioned per commit, is linear in commits: plan
+    compile alone blows up on a 10^4-commit table). Commits are authored
+    directly (pyarrow write + manifest commit) so the test exercises the
+    reader, not the merge path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_commits, n_buckets = 200, 4
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=n_buckets)
+    state = {b: {} for b in range(n_buckets)}  # bucket -> key -> lsn
+    expect = {}
+    for v in range(1, n_commits + 1):
+        b = v % n_buckets
+        key = f"k{v % 23:02d}_b{b}"
+        state[b][key] = v
+        expect[key] = v
+        if v % 37 == 0 and len(state[b]) > 1:  # occasional delete
+            dead = sorted(state[b])[0]
+            del state[b][dead]
+            expect.pop(dead, None)
+        d = os.path.join(t.new_data_dir(v), f"_bucket={b}")
+        os.makedirs(d)
+        keys = sorted(state[b])
+        pq.write_table(
+            pa.table({
+                "repo": pa.array(["r"] * len(keys), pa.string()),
+                "path": pa.array(keys, pa.string()),
+                "commit": pa.array([f"c{state[b][k]}" for k in keys], pa.string()),
+                "lang": pa.array(["py"] * len(keys), pa.string()),
+                "content": pa.array(["x"] * len(keys), pa.string()),
+                "content_sha256": pa.array([f"s{state[b][k]}" for k in keys], pa.string()),
+                "_last_lsn": pa.array([state[b][k] for k in keys], pa.int64()),
+            }),
+            os.path.join(d, "part-0.parquet"),
+        )
+        t.commit(v, t.new_data_dir(v), [b], last_lsn=v, dyn_schema=[], metrics={})
+
+    feed = read_changelog(t, from_version=0)
+    plan = feed._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    scans = plan.count("Scan parquet")
+    # one scan feeds the slim lsn aggregate, one the payload join-back;
+    # crucially NOT one (or two) per commit
+    assert 1 <= scans <= 2, plan[:2000]
+    rows = feed.collect()
+    folded = _apply_feed(rows)
+    assert {k: lsn for (_, k), (_, lsn) in folded.items()} == expect
+    # every commit that changed state is represented
+    assert {r["_commit_version"] for r in rows} == set(range(1, n_commits + 1))
 
 
 def test_changelog_reconstructs_snapshot(spark, replayed):
