@@ -332,12 +332,15 @@ def prepare_batch(
     # (lsn << 2 | op_code) so the aggregate buffer is a single LONG:
     # max_by over a string buffer would plan as SortAggregate (per-
     # partition sort of the WHOLE batch), while max(long) stays a
-    # HashAggregate with map-side partial combine. Two levels: the first
-    # groups by (key, packed) so duplicate deliveries (same lsn twice)
-    # collapse with an exact per-key count — this is how the engine gets
-    # an exact duplicate_deliveries metric WITHOUT a count_distinct
-    # shuffle over the whole batch. Cached: materialized here by the
-    # stats probe, then reused by the two broadcasts (winner-lsn
+    # HashAggregate with map-side partial combine. ONE key-string shuffle
+    # total: conflict resolution is a single groupBy(key) HashAggregate.
+    # (An earlier two-level (key, packed)->(key) cascade shuffled the
+    # batch's key strings TWICE to get an exact per-key distinct-lsn
+    # count; only the GLOBAL duplicate total is ever used, and that comes
+    # from the packed-long probe below — 16-byte rows — which runs
+    # CONCURRENTLY on a second thread, so the string shuffle bytes of the
+    # conflict-resolution phase are halved.) Cached: materialized here by
+    # the stats probe, then reused by the two broadcasts (winner-lsn
     # semi-filter, target carry/drop join) and the post-write recompute.
     op_code = F.when(F.col("op") == "D", 2).when(F.col("op") == "U", 1).otherwise(0)
     t_phase = time.time()
@@ -345,42 +348,30 @@ def prepare_batch(
     # buffers: a max(long) lsn-pointer per coalesce column (the value is
     # fetched later by a narrow join on that pointer, so wide values
     # never enter an aggregation buffer), min/max(ts) for track_seen
-    lvl1_aggs = []
-    lvl2_aggs = []
+    key_aggs = []
     sel_extra = []
     for c in policies.coalesce_cols:
         v = _event_value_expr(c)
         sel_extra.append(
             F.when(v.isNotNull() & (F.col("op") != "D"), F.col("lsn")).alias(f"_pc_{c}")
         )
-        lvl1_aggs.append(F.max(f"_pc_{c}").alias(f"_pc_{c}"))
-        lvl2_aggs.append(F.max(f"_pc_{c}").alias(f"_pl_{c}"))
+        key_aggs.append(F.max(f"_pc_{c}").alias(f"_pl_{c}"))
     if policies.track_seen:
         sel_extra.append(F.col("ts").alias("_ts"))
-        lvl1_aggs.append(F.min("_ts").alias("_fs1"))
-        lvl1_aggs.append(F.max("_ts").alias("_ls1"))
-        lvl2_aggs.append(F.min("_fs1").alias("_fs"))
-        lvl2_aggs.append(F.max("_ls1").alias("_ls"))
+        key_aggs.append(F.min("_ts").alias("_fs"))
+        key_aggs.append(F.max("_ts").alias("_ls"))
     policy_out = [f"_pl_{c}" for c in policies.coalesce_cols] + (
         ["_fs", "_ls"] if policies.track_seen else []
     )
-    # level 1 groups by (key, packed): duplicate deliveries of the same
-    # lsn collapse HERE with an exact count, so per-key distinct-lsn
-    # cardinality (= level-2 count(*)) comes out of the same pipeline and
-    # the old separate count_distinct scan of the batch is gone entirely.
-    # Both levels plan as HashAggregate over fixed-width buffers.
     slim = (
         slim_src.select(
             *KEY_COLS, (F.shiftleft(F.col("lsn"), 2) + op_code).alias("_p"), *sel_extra
         )
-        .groupBy(*KEY_COLS, "_p")
-        .agg(F.count("*").alias("_c"), *lvl1_aggs)
         .groupBy(*KEY_COLS)
         .agg(
             F.max("_p").alias("_p"),
-            F.sum("_c").alias("_n"),
-            F.count("*").alias("_nd"),
-            *lvl2_aggs,
+            F.count("*").alias("_n"),
+            *key_aggs,
         )
         .select(
             *KEY_COLS,
@@ -390,21 +381,40 @@ def prepare_batch(
                 (F.pmod(F.col("_p"), F.lit(4)) + 1).cast("int"),
             ).alias("op"),
             "_n",
-            "_nd",
             *policy_out,
         )
         .persist()
     )
 
-    # touched buckets + key cardinality from a stats probe ON the cached
-    # slim (tiny: |keys| rows; the action that materializes the cache and
-    # fills the observation)
-    slim_stats = slim.agg(
-        F.count("*").alias("n_keys"),
-        F.collect_set(bucket_expr(table.n_buckets)).alias("touched"),
-        F.sum("_n").alias("n_rows"),
-        F.sum("_nd").alias("n_distinct"),
-    ).collect()[0]
+    # Exact duplicate-delivery probe: distinct packed (lsn, op) vs total,
+    # over an UNOBSERVED lineage (a second action on the observed plan
+    # would double-report ctl) pruned to four narrow columns — the
+    # shuffle moves 16-byte rows. Runs concurrently with the slim stats
+    # action below (independent jobs; the local/Yarn scheduler interleaves
+    # them), so prepare wall is max(slim, probe), not the sum. Exactness
+    # matters: this count gates skipping the full-content dedup shuffle
+    # in the write job, and an approx_count_distinct under-count there
+    # would silently write duplicate keys.
+    dup_probe = (
+        batch.where(is_data)
+        .select((F.shiftleft(F.col("lsn"), 2) + op_code).alias("_p"))
+        .groupBy("_p")
+        .agg(F.count("*").alias("_c"))
+        .agg(F.sum("_c").alias("n"), F.count("*").alias("nd"))
+    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as dpool:
+        dup_fut = dpool.submit(lambda: dup_probe.collect()[0])
+        # touched buckets + key cardinality from a stats probe ON the
+        # cached slim (tiny: |keys| rows; the action that materializes
+        # the cache and fills the observation)
+        slim_stats = slim.agg(
+            F.count("*").alias("n_keys"),
+            F.collect_set(bucket_expr(table.n_buckets)).alias("touched"),
+            F.sum("_n").alias("n_rows"),
+        ).collect()[0]
+        dup_row = dup_fut.result()
     m.phase_secs["slim_build"] = round(time.time() - t_phase, 3)
     counts = None
     if ctl is not None:
@@ -431,15 +441,12 @@ def prepare_batch(
     m.data_events = counts["n_data"] or 0
     m.quarantined = counts["n_invalid"] or 0
     m.schema_events = (counts["n_live"] or 0) - m.data_events - m.quarantined
-    # data-event re-deliveries (same lsn twice): exact, straight from the
-    # slim stats — level 1 of the slim aggregate groups by (key, packed
-    # lsn), so sum(_n) - sum(_nd) is exactly the number of duplicate
-    # deliveries; there is NO separate scan or action for it. The result
-    # gates the write job's dedup: a proved-duplicate-free batch skips
-    # the full-content dedup shuffle. Schema-event re-deliveries are
-    # folded idempotently by extract_schema_changes and not counted here.
-    n_data_rows = int(slim_stats["n_rows"] or 0)
-    m.duplicate_deliveries = n_data_rows - int(slim_stats["n_distinct"] or 0)
+    # data-event re-deliveries (same lsn twice): exact, from the packed-
+    # long probe (total rows minus distinct packed (lsn, op) values). The
+    # result gates the write job's dedup: a proved-duplicate-free batch
+    # skips the full-content dedup shuffle. Schema-event re-deliveries
+    # are folded idempotently by extract_schema_changes and not counted.
+    m.duplicate_deliveries = int(dup_row["n"] or 0) - int(dup_row["nd"] or 0)
 
     # --- schema evolution (fold the collected control events, lsn order,
     # idempotent under duplicate deliveries)

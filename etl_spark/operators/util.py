@@ -22,6 +22,20 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     want = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+    # Gate on the optimizer's size estimate, NOT df.rdd.getNumPartitions():
+    # the .rdd route forces full physical planning + DAG construction on
+    # the driver for EVERY operator invocation just to read a number. The
+    # stats estimate (file sizes for scans, row-count heuristics
+    # otherwise) is computed during analysis anyway; under ~4 MB per task
+    # slot the input is small enough that one round-robin pass costs
+    # nothing, while a production-scale scan blows straight past the
+    # threshold and stays untouched on its natural splits.
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()  # noqa: SLF001
+        )
+    except Exception:
+        size = None
+    if size is None:  # stats unavailable: fall back to the physical probe
+        return df.repartition(want) if df.rdd.getNumPartitions() < want else df
+    return df.repartition(want) if size < want * 4 * 1024 * 1024 else df
