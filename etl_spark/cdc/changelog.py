@@ -55,8 +55,10 @@ from .schema import KEY_COLS
 
 CHANGE_COLS = ["commit", "lang", "content", "content_sha256", "_last_lsn"]
 
-# matches the manifest-relative bucket-dir path inside a task's file URI
-_DIR_RE = r"(data/v\d+/_bucket=\d+)/"
+# matches the manifest-relative bucket-dir path inside a task's file URI;
+# anchored to the trailing file name so a table ROOT that itself contains
+# a data/vN/_bucket=K segment can never shadow the real bucket dir
+_DIR_RE = r"(data/v\d+/_bucket=\d+)/[^/]*$"
 
 
 def _dir_tags(manifests: dict[int, dict], from_version: int, to_version: int
