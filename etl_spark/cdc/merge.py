@@ -395,10 +395,23 @@ def prepare_batch(
     # matters: this count gates skipping the full-content dedup shuffle
     # in the write job, and an approx_count_distinct under-count there
     # would silently write duplicate keys.
+    # Grouped by (packed, xxhash64(key)) — still two fixed-width longs —
+    # because an lsn alone does NOT identify an event for every caller:
+    # merge_into/scd2 stamp one synthetic lsn across a whole source
+    # batch, and grouping by lsn alone would report every multi-row
+    # merge as (rows - 1) phantom duplicates, permanently disabling the
+    # dup_free fast path. The key HASH (not the key strings) keeps the
+    # shuffle fixed-width; a 64-bit collision can only merge two
+    # DISTINCT events into one group, i.e. OVER-count duplicates — which
+    # fails safe (dup_free stays false and the full dedup runs), never
+    # the reverse.
     dup_probe = (
         batch.where(is_data)
-        .select((F.shiftleft(F.col("lsn"), 2) + op_code).alias("_p"))
-        .groupBy("_p")
+        .select(
+            (F.shiftleft(F.col("lsn"), 2) + op_code).alias("_p"),
+            F.xxhash64(*KEY_COLS).alias("_kh"),
+        )
+        .groupBy("_p", "_kh")
         .agg(F.count("*").alias("_c"))
         .agg(F.sum("_c").alias("n"), F.count("*").alias("nd"))
     )

@@ -27,22 +27,36 @@ from pyspark.sql import functions as F
 
 
 def ip_to_long(col):
-    """Dotted-quad string -> unsigned 32-bit value in a long (codegen)."""
+    """Dotted-quad string -> unsigned 32-bit value in a long; NULL for
+    anything that is not a.b.c.d with all octets 0-255. ANSI-safe by
+    construction (``get`` + ``try_cast``, nothing throws on dirty rows
+    — Spark 4 defaults ansi=true, where a bare getItem/cast aborts the
+    whole job on one malformed feed line). Octet range is enforced, not
+    just shape: '1.2.3.999' would otherwise carry into the third octet
+    and alias 1.2.6.231, longest-prefix-matching a network the probe
+    does not belong to."""
     p = F.split(col, r"\.")
-    return (
-        p[0].cast("long") * 16777216
-        + p[1].cast("long") * 65536
-        + p[2].cast("long") * 256
-        + p[3].cast("long")
+    octs = [F.get(p, i).try_cast("long") for i in range(4)]
+    ok = F.size(p) == 4
+    for o in octs:
+        ok = ok & o.isNotNull() & (o >= 0) & (o <= 255)
+    return F.when(
+        ok, octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
     )
 
 
 def parse_cidr(df: DataFrame, cidr_col: str = "cidr") -> DataFrame:
-    """Add (net_long, plen, net_prefix) parsed from 'a.b.c.d/len'."""
+    """Add (plen, net_prefix) parsed from 'a.b.c.d/len'; non-parseable
+    or out-of-range rows are DROPPED (same contract as parse_cidr6)."""
     net = F.split(F.col(cidr_col), "/")
     out = (
-        df.withColumn("plen", net[1].cast("int"))
-        .withColumn("_net_long", ip_to_long(net[0]))
+        df.withColumn("plen", F.get(net, 1).try_cast("int"))
+        .withColumn("_net_long", ip_to_long(F.get(net, 0)))
+        .where(
+            (F.size(net) == 2)
+            & F.col("plen").between(0, 32)
+            & F.col("_net_long").isNotNull()
+        )
     )
     # normalize: truncate the network address to its own prefix length
     # (tolerates non-canonical CIDRs like 10.1.2.3/8). shiftright with a
@@ -82,7 +96,8 @@ def ip6_parse(col):
     dc = F.split(col, "::")
     has_dc = F.size(dc) == 2
     empty = F.array().cast("array<string>")
-    left = F.filter(F.split(dc[0], ":"), lambda x: x != "")
+    l_raw = F.split(dc[0], ":")
+    left = F.filter(l_raw, lambda x: x != "")
     right = F.when(
         has_dc, F.filter(F.split(F.element_at(dc, 2), ":"), lambda x: x != "")
     ).otherwise(empty)
@@ -90,10 +105,26 @@ def ip6_parse(col):
         has_dc, F.array_repeat(F.lit("0"), 8 - F.size(left) - F.size(right))
     ).otherwise(empty)
     groups = F.concat(left, mid, right)
+    # Structure rules beyond charset/group checks (each of these spellings
+    # is rejected by Python's ipaddress and must not sneak in as valid —
+    # a probe string truncated mid-record would otherwise be matched):
+    # - with '::': neither side may carry its own stray leading/trailing
+    #   colon (':1::2'), and the compression must expand >= 1 group
+    #   ('1:2:3:4::5:6:7:8' is 8 groups + '::' -> malformed);
+    # - without '::': exactly 8 tokens and none empty (rejects the
+    #   trailing/leading single colon '1:2:3:4:5:6:7:8:').
+    side_ok = lambda s: (s == "") | ~(s.startswith(":") | s.endswith(":"))  # noqa: E731
+    compact_ok = (
+        side_ok(dc[0])
+        & side_ok(F.element_at(dc, 2))
+        & (F.size(left) + F.size(right) <= 7)
+    )
+    full_ok = (F.size(l_raw) == 8) & F.forall(l_raw, lambda g: g != "")
     valid = (
         col.rlike("^[0-9a-fA-F:]+$")
         & ~col.contains(":::")
         & (F.size(dc) <= 2)
+        & F.when(has_dc, compact_ok).otherwise(full_ok)
         & (F.size(groups) == 8)
         & F.forall(groups, lambda g: (F.length(g) >= 1) & (F.length(g) <= 4))
     )
@@ -143,13 +174,16 @@ def parse_cidr6(df: DataFrame, cidr_col: str = "cidr") -> DataFrame:
     (bits set beyond the prefix) are truncated, so duplicate spellings
     of one network collapse."""
     s = F.split(F.col(cidr_col), "/")
-    valid, hi, lo = ip6_parse(s.getItem(0))
+    # get + try_cast, never getItem/cast: under ANSI (Spark 4 default) a
+    # slash-less or non-numeric-length row would abort the job instead
+    # of being dropped
+    valid, hi, lo = ip6_parse(F.get(s, 0))
     out = (
-        df.withColumn("plen", s.getItem(1).cast("int"))
+        df.withColumn("plen", F.get(s, 1).try_cast("int"))
         .withColumn("_v", valid)
         .withColumn("_hi", hi)
         .withColumn("_lo", lo)
-        .where(F.col("_v") & F.col("plen").between(0, 128))
+        .where((F.size(s) == 2) & F.col("_v") & F.col("plen").between(0, 128))
         .drop("_v")
     )
     return _mask6(out, "_hi", "_lo", "plen")
@@ -200,13 +234,8 @@ def cidr6_longest_match(
         .where(F.col("_v"))
         .drop("_v")
     )
-    cand = (
-        probe.join(F.broadcast(plens))
-        .withColumn("_khi", F.least(F.col("plen"), F.lit(64)))
-        .withColumn("_klo", F.greatest(F.col("plen") - 64, F.lit(0)))
-        .withColumn("pfx_hi", F.col("_iphi").bitwiseAND(F.expr(_lane_mask("_khi"))))
-        .withColumn("pfx_lo", F.col("_iplo").bitwiseAND(F.expr(_lane_mask("_klo"))))
-        .join(F.broadcast(nets), ["plen", "pfx_hi", "pfx_lo"])
+    cand = _mask6(probe.join(F.broadcast(plens)), "_iphi", "_iplo", "plen").join(
+        F.broadcast(nets), ["plen", "pfx_hi", "pfx_lo"]
     )
     win = cand.groupBy(ip_col).agg(
         F.max("plen").alias("plen"),

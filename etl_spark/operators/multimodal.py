@@ -88,11 +88,19 @@ def decode_bmp(payload: bytes) -> dict | None:
     width, height = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if hdr_size < 40 or planes != 1 or compression != 0 or width <= 0 or height == 0:
+    # bpp pinned to 24: this codec is scoped to 24-bit BI_RGB (module
+    # docstring) — an 8/32-bit BMP must decode to None (null quarantine),
+    # not be reported with fabricated 3-channel metadata
+    if (hdr_size < 40 or planes != 1 or compression != 0 or bpp != 24
+            or width <= 0 or height == 0):
         return None
     # top-down BMPs store negative height
-    return {"width": width, "height": abs(height), "bpp": bpp,
-            "data_offset": data_off}
+    h = abs(height)
+    # declared raster must actually fit the payload: a truncated upload
+    # yields None, never metadata computed from bytes that are not there
+    if data_off < 14 + hdr_size or data_off + bmp_row_bytes(width) * h > len(payload):
+        return None
+    return {"width": width, "height": h, "bpp": bpp, "data_offset": data_off}
 
 
 def encode_wav(data: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
@@ -121,10 +129,17 @@ def decode_wav(payload: bytes) -> dict | None:
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        # declared chunk bodies must actually fit the payload: a
+        # truncated upload decodes to None, never to sample counts /
+        # durations fabricated from a size field with no bytes behind it
+        if pos + 8 + size > len(payload):
+            return None
         if cid == b"fmt " and size >= 16:
             audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", payload, pos + 8)
-            if audio_fmt != 1 or ch < 1 or bits % 8 or rate < 1:
+            # bits must be a positive multiple of 8 (bits=0 passes a bare
+            # `% 8` check and then divides by zero in the sample count)
+            if audio_fmt != 1 or ch < 1 or bits % 8 or bits == 0 or rate < 1:
                 return None
             fmt = (ch, rate, bits)
         elif cid == b"data":

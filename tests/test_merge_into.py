@@ -30,6 +30,12 @@ def test_upsert_then_delete(spark, tmp_path):
         ("r2", "c", "c1", "C++", "cc"),
     ]))
     assert (m1.inserted, m1.updated, m1.deleted) == (3, 0, 0)
+    # every source row rides ONE synthetic lsn: the duplicate-delivery
+    # probe must group by (lsn, key-hash), not lsn alone, or a unique-
+    # keyed multi-row merge reports rows-1 phantom duplicates and the
+    # dup_free fast path (skip the full-content dedup shuffle) never
+    # fires for merge_into/scd2 batches
+    assert m1.duplicate_deliveries == 0
     assert _state(t) == {
         ("r1", "a"): ("c1", "py", "aa"),
         ("r1", "b"): ("c1", "go", "bb"),

@@ -390,6 +390,51 @@ def test_codec_roundtrip_and_malformed():
         assert decode_bmp(junk) is None and decode_wav(junk) is None
 
 
+def test_codec_adversarial_headers_quarantine():
+    """Malformed-but-magic-valid payloads must decode to None (quarantine),
+    never raise and never report metadata fabricated from size fields
+    with no bytes behind them."""
+    import struct
+
+    from etl_spark.operators.multimodal import (bmp_row_bytes, decode_bmp,
+                                                decode_wav, encode_bmp,
+                                                encode_wav)
+
+    # WAV declaring bits_per_sample=0: passes a bare `% 8` check, then
+    # divides by zero in the sample count
+    fmt0 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 0)
+    data = b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    wav0 = (b"RIFF" + struct.pack("<I", 4 + len(fmt0) + len(data))
+            + b"WAVE" + fmt0 + data)
+    assert decode_wav(wav0) is None
+
+    # truncated WAV: data chunk declares 1,000,000 bytes, carries 4 —
+    # must NOT report n_samples=500000 / duration 62.5s
+    fmt16 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    trunc = (b"RIFF" + struct.pack("<I", 1000036) + b"WAVE" + fmt16
+             + b"data" + struct.pack("<I", 1000000) + b"\x00" * 4)
+    assert decode_wav(trunc) is None
+
+    # truncated fmt chunk (declared 16, payload ends mid-struct)
+    short_fmt = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00")
+    assert decode_wav(short_fmt) is None
+
+    # 32-bit BMP: outside this codec's 24-bit BI_RGB scope — None, not
+    # a fabricated channels=3 decode
+    bmp32 = bytearray(encode_bmp(b"xyz", 2, 2))
+    bmp32[28:30] = struct.pack("<H", 32)
+    assert decode_bmp(bytes(bmp32)) is None
+
+    # truncated BMP raster: header promises 31x19, payload holds 1 row
+    whole = encode_bmp(bytes(range(64)), 31, 19)
+    assert decode_bmp(whole[: 54 + bmp_row_bytes(31)]) is None
+    # data_offset pointing past the buffer
+    off = bytearray(encode_bmp(b"x", 2, 2))
+    off[10:14] = struct.pack("<I", 10_000)
+    assert decode_bmp(bytes(off)) is None
+
+
 def test_multimodal_features_exact(spark):
     """End-to-end through Spark: synthesized REAL media bytes decode to
     header fields matching the generation rule; payload stats are exact."""
@@ -490,6 +535,55 @@ def test_cidr6_longest_match_semantics(spark):
     assert got[6][1] == 0, "default route catches everything parseable"
     # malformed / unsupported-embedded-v4 / 9-group probes drop, not match
     assert 7 not in got and 8 not in got and 9 not in got
+
+
+def test_cidr_parsers_tolerate_dirty_feeds(spark):
+    """One malformed line in a route/GeoLite feed must DROP, never abort
+    the job (Spark 4 defaults ANSI mode, where a bare getItem/cast throws
+    on the first dirty row) and never parse as valid=true — every
+    validity verdict is cross-checked against Python's ipaddress."""
+    import ipaddress
+
+    from etl_spark.operators.cidr import (cidr6_longest_match,
+                                          cidr_longest_match, ip6_parse)
+
+    cases = ["1:2:3:4:5:6:7:8:", ":1::2", "1::2:", "1:2:3:4::5:6:7:8",
+             "zzzz::1", "", "1:2", ":::", ":",
+             "::", "::1", "1::", "2001:db8::7:8", "1:2:3:4:5:6:7:8"]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    v, _, _ = ip6_parse(F.col("s"))
+    got = {r["s"]: bool(r["v"]) for r in df.select("s", v.alias("v")).collect()}
+    for s in cases:
+        try:
+            ipaddress.IPv6Address(s)
+            expect = True
+        except ValueError:
+            expect = False
+        assert got[s] == expect, f"validity({s!r}): got {got[s]}, want {expect}"
+    # IPv4-embedded tail: valid per RFC but documented-unsupported here —
+    # must report invalid (drop), never a silent wrong 128-bit value
+    got_v4 = df.sparkSession.createDataFrame([("::ffff:1.2.3.4",)], "s string")
+    vv, _, _ = ip6_parse(F.col("s"))
+    assert got_v4.select(vv.alias("v")).collect()[0]["v"] is False
+
+    # dirty NETWORK feeds: malformed rows drop; the rest still match.
+    # '1.2.3.999/8' additionally pins octet-range enforcement: naive
+    # octet arithmetic would carry 999 into the neighboring octet and
+    # alias a different address instead of dropping.
+    ips = spark.createDataFrame(
+        [(1, "10.0.0.1"), (2, "2001:db8::1")], "id long, ip string")
+    nets4 = spark.createDataFrame(
+        [("10.0.0.0/8",), ("10.0.0.0",), ("10.0.0.0/xx",), ("abc",),
+         ("1.2.3.999/8",), ("10.0.0.0/8/9",), ("10.0.0.0/33",)],
+        "cidr string")
+    got4 = {r["id"]: r["plen"] for r in cidr_longest_match(ips, nets4).collect()}
+    assert got4 == {1: 8}
+    nets6 = spark.createDataFrame(
+        [("2001:db8::/32",), ("2001:db8::",), ("2001:db8::/xx",),
+         (":1::2/16",), ("2001:db8::/129",)],
+        "cidr string")
+    got6 = {r["id"]: r["plen"] for r in cidr6_longest_match(ips, nets6).collect()}
+    assert got6 == {2: 32}
 
 
 @pytest.mark.usefixtures("spark")
