@@ -99,7 +99,7 @@ def ip6_parse(col):
     l_raw = F.split(dc[0], ":")
     left = F.filter(l_raw, lambda x: x != "")
     right = F.when(
-        has_dc, F.filter(F.split(F.element_at(dc, 2), ":"), lambda x: x != "")
+        has_dc, F.filter(F.split(F.try_element_at(dc, F.lit(2)), ":"), lambda x: x != "")
     ).otherwise(empty)
     mid = F.when(
         has_dc, F.array_repeat(F.lit("0"), 8 - F.size(left) - F.size(right))
@@ -116,7 +116,7 @@ def ip6_parse(col):
     side_ok = lambda s: (s == "") | ~(s.startswith(":") | s.endswith(":"))  # noqa: E731
     compact_ok = (
         side_ok(dc[0])
-        & side_ok(F.element_at(dc, 2))
+        & side_ok(F.try_element_at(dc, F.lit(2)))
         & (F.size(left) + F.size(right) <= 7)
     )
     full_ok = (F.size(l_raw) == 8) & F.forall(l_raw, lambda g: g != "")
@@ -128,9 +128,19 @@ def ip6_parse(col):
         & (F.size(groups) == 8)
         & F.forall(groups, lambda g: (F.length(g) >= 1) & (F.length(g) <= 4))
     )
-    hx = [
-        F.conv(F.element_at(groups, i + 1), 16, 10).cast("long") for i in range(8)
-    ]
+    # hi/lo are only ever CONSUMED behind a valid-filter, but nothing
+    # forces the optimizer to evaluate the filter first in every future
+    # plan shape, and under ANSI each unguarded step here can abort the
+    # job on an INVALID row (fuzz-found, tests/test_operators.py): a
+    # bare element_at when groups has < 8 entries, conv() overflow on a
+    # token longer than 16 hex chars, cast() of conv's garbage output.
+    # try_element_at + a length gate + try_cast make the lane math
+    # total: invalid rows yield NULL lanes, never an exception.
+    hx = []
+    for i in range(8):
+        g = F.try_element_at(groups, F.lit(i + 1))
+        g = F.when((F.length(g) >= 1) & (F.length(g) <= 4), g)
+        hx.append(F.conv(g, 16, 10).try_cast("long"))
     hi = (
         F.shiftleft(hx[0], 48)
         .bitwiseOR(F.shiftleft(hx[1], 32))

@@ -537,6 +537,49 @@ def test_cidr6_longest_match_semantics(spark):
     assert 7 not in got and 8 not in got and 9 not in got
 
 
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_ip6_parse_matches_ipaddress_on_fuzz(spark, data):
+    """ip6_parse's (valid, hi, lo) vs Python ipaddress on fuzzed strings
+    from the hex-and-colon alphabet (plus structured near-valid forms):
+    validity verdicts must agree exactly (IPv4-embedded forms excepted —
+    documented unsupported, must read invalid), and for every string both
+    sides accept, the 128-bit value must be bit-identical."""
+    import ipaddress
+
+    alphabet = "0123456789abcdef:"
+    raw = data.draw(st.lists(
+        st.text(alphabet=alphabet, min_size=1, max_size=24),
+        min_size=20, max_size=40))
+    # structured near-valid forms: join 1-9 hextets, optionally compress
+    hextet = st.text(alphabet="0123456789abcdef", min_size=1, max_size=4)
+    structured = data.draw(st.lists(
+        st.lists(hextet, min_size=1, max_size=9).map(":".join),
+        min_size=10, max_size=20))
+    cases = sorted(set(raw + structured + ["::"]))
+
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    from etl_spark.operators.cidr import ip6_parse
+    v, hi, lo = ip6_parse(F.col("s"))
+    rows = df.select("s", v.alias("v"), hi.alias("h"), lo.alias("l")).collect()
+    for r in rows:
+        s = r["s"]
+        try:
+            ref = int(ipaddress.IPv6Address(s))
+        except ValueError:
+            ref = None
+        assert bool(r["v"]) == (ref is not None), f"validity({s!r})"
+        if ref is not None:
+            got = ((r["h"] & 0xFFFFFFFFFFFFFFFF) << 64) | (r["l"] & 0xFFFFFFFFFFFFFFFF)
+            assert got == ref, f"value({s!r}): {got:#x} != {ref:#x}"
+
+
 def test_cidr_parsers_tolerate_dirty_feeds(spark):
     """One malformed line in a route/GeoLite feed must DROP, never abort
     the job (Spark 4 defaults ANSI mode, where a bare getItem/cast throws
