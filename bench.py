@@ -73,6 +73,8 @@ HEADLINE = [
     "ann_brute_topk",      # brute-force cosine top-k
     "ann_lsh_topk",        # LSH-bucketed ANN
     "cidr_longest_match",  # J8 prefix fan-out containment join
+    "cidr6_longest_match", # J8 IPv6: 128-bit two-long lanes, same shape
+    "changelog_feed",      # CDF: constant-depth interval read
     "scalar_conversions",  # F4/F5/F7/F8 scalar surface
     "csv_roundtrip",       # K8/S11 csv write+read
     "asof_join",           # temporal as-of (union+window shape)
@@ -112,6 +114,13 @@ def run_headline() -> dict:
 
     for t in ("events", "documents", "embeddings"):
         _table(spark, SF_DIR, t).count()
+    # the shared replay table (harness fixture reused by every replay-
+    # backed query; see queries._shared_replay) is likewise built outside
+    # any per-query timing — otherwise its one-time ~60 s replay is
+    # charged to whichever replay-backed query runs first
+    from etl_spark.queries import _shared_replay
+
+    _shared_replay(spark, SF_DIR)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
