@@ -77,8 +77,17 @@ def dedup_last_writer_slim(
 ) -> DataFrame:
     """Per-key last-writer via SLIM aggregate + semi-join back.
 
-    Requires ``order_col`` to be globally unique (lsn/event_id are). Two
-    narrow steps instead of one wide ``max_by(struct)``:
+    Requires ``order_col`` to be globally unique (lsn/event_id are) AND
+    each event to appear at most once: a duplicate DELIVERY of the
+    winning event passes the semi-join twice and yields the key twice.
+    For at-least-once inputs use ``dedup_last_writer`` (collapses
+    same-order duplicates) or the merge path, which proves batches
+    duplicate-free with its packed-long probe and falls back to the full
+    dedup only when needed (merge.py dup_free) — collapsing duplicates
+    HERE would cost a wide winners shuffle on every call to handle a
+    case the callers' sources exclude by construction.
+
+    Two narrow steps instead of one wide ``max_by(struct)``:
 
     1. ``groupBy(key).agg(max(order))`` — a single-LONG buffer, so it
        plans as HashAggregate with map-side partial combine. max_by over

@@ -68,8 +68,11 @@ def apply_to_dyn_schema(
     out = [list(c) for c in dyn]
     names = {c[0] for c in out}
     for ch in changes:
-        if ch.column in PROTECTED_COLS or (ch.new_name or "") in PROTECTED_COLS:
-            raise SchemaEvolutionError(f"schema change touches protected column: {ch}")
+        for n in (ch.column, ch.new_name or ""):
+            if n in PROTECTED_COLS or n.startswith("_"):
+                raise SchemaEvolutionError(
+                    f"schema change touches protected/reserved column: {ch}"
+                )
         if ch.kind == "add":
             if ch.column in names:
                 raise SchemaEvolutionError(f"duplicate add: {ch.column}")

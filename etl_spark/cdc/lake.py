@@ -52,13 +52,37 @@ class SnapshotExpiredError(ValueError):
     """Time-travel target no longer materialized (expired by retention)."""
 
 
-def _atomic_write(path: str, payload: str) -> None:
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (optimistic-concurrency
+    loss). The caller's view of the table is stale: re-read the manifest
+    and re-prepare against the new checkpoint."""
+
+
+def _atomic_write(path: str, payload: str, exclusive: bool = False) -> None:
+    """tmp + rename publish. ``exclusive=True`` uses link(2) instead of
+    rename — atomic create-if-absent, the POSIX analog of an Iceberg
+    catalog's compare-and-swap: when two writers race to publish the
+    same version, exactly one wins and the other gets
+    ConcurrentCommitError instead of silently overwriting."""
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         f.write(payload)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, path)
+    if not exclusive:
+        os.rename(tmp, path)
+        return
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{path} already committed by another writer"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 class SnapshotTable:
@@ -119,10 +143,12 @@ class SnapshotTable:
         return [tuple(c) for c in self.manifest()["dyn_schema"]]
 
     def table_schema(self, dyn: list[tuple[str, str]] | None = None) -> T.StructType:
+        from .schema import ddl_to_type
+
         dyn = self.dyn_schema() if dyn is None else dyn
         fields = list(self.base_fields)
         for name, ddl in dyn:
-            fields.append(T.StructField(name, T._parse_datatype_string(ddl)))  # noqa: SLF001
+            fields.append(T.StructField(name, ddl_to_type(ddl)))
         return T.StructType(fields)
 
     # --- read ----------------------------------------------------------------
@@ -297,7 +323,11 @@ class SnapshotTable:
             "metrics": metrics,
         }
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
-        _atomic_write(mpath, json.dumps(manifest, indent=1))
+        # exclusive: a concurrent writer that prepared against the same
+        # parent (continuous ingest racing a background compact/rebucket)
+        # would otherwise overwrite this manifest and regress the
+        # checkpoint — exactly one commit per version number can ever win
+        _atomic_write(mpath, json.dumps(manifest, indent=1), exclusive=True)
         _atomic_write(self._latest_path, str(version))
         _atomic_write(
             os.path.join(self.root, "metrics", f"batch-v{version}.json"),
@@ -315,6 +345,11 @@ class SnapshotTable:
         """Drop manifests/data older than the last N versions (reference
         analog: geoinfo retention ``load_id <= max - k``, main.py:482-486).
         Data dirs still referenced by a kept manifest are preserved."""
+        if keep_last < 1:
+            # keep_last=0 would compute an empty live set and delete every
+            # manifest and data dir while _LATEST still points at the
+            # removed version — an unrecoverable table
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         cur = self.version()
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
         live: set[str] = set()

@@ -87,6 +87,19 @@ from .schema import KEY_COLS
 BROADCAST_MAX_ROWS = int(os.environ.get("ETL_SPARK_BROADCAST_MAX_ROWS", "1000000"))
 
 
+# Event validity — the single source of truth shared by the in-batch
+# quarantine (prepare_batch) and the pre-flight log scan
+# (runner.preflight_counts), so the preflight's "all-zero means every
+# event is applied or quarantined" guarantee cannot drift from what the
+# quarantine actually checks.
+def event_bad_op_expr():
+    return ~F.coalesce(F.col("op").isin("I", "U", "D", "S"), F.lit(False))
+
+
+def event_null_key_expr():
+    return (F.col("op") != "S") & (F.col("repo").isNull() | F.col("path").isNull())
+
+
 def _lineage_from_footers(out_dir: str, version: int) -> dict:
     """Per-bucket (rows, max _last_lsn) from parquet footer metadata."""
     import pyarrow.parquet as pq
@@ -194,12 +207,25 @@ def _apply_policies(winners, slim, data, target, policies: MergePolicies,
         ids = ptr.where(F.col("_ptr").isNotNull()).select(F.col("_ptr").alias("lsn"))
         if do_broadcast:
             ids = F.broadcast(ids)
+        # the fetch joins on (key, lsn), never lsn alone: a duplicate
+        # delivery of the pointer event, or a shared synthetic lsn
+        # (merge_into stamps ONE lsn across the whole source batch),
+        # would otherwise fan the winner row out into duplicate table
+        # rows carrying OTHER keys' values. dropDuplicates collapses
+        # re-deliveries (identical rows) before the join.
         vals = (
             data.join(ids, "lsn", "semi")
-            .select(F.col("lsn").alias("_ptr"), _event_value_expr(c).alias(f"_bv_{c}"))
+            .select(*KEY_COLS, F.col("lsn").alias("_ptr"),
+                    _event_value_expr(c).alias(f"_bv_{c}"))
+            .dropDuplicates([*KEY_COLS, "_ptr"])
         )
-        kv = ptr.join(vals, "_ptr", "left").select(*KEY_COLS, f"_bv_{c}")
+        kv = ptr.join(vals, [*KEY_COLS, "_ptr"], "left").select(*KEY_COLS, f"_bv_{c}")
         w = w.join(kv, KEY_COLS, "left")
+    if policies.coalesce_cols:
+        dl = slim.select(*KEY_COLS, "_dl")
+        if do_broadcast:
+            dl = F.broadcast(dl)
+        w = w.join(dl, KEY_COLS, "left")
 
     tgt_cols = list(policies.coalesce_cols) + (
         ["first_seen", "last_seen"] if policies.track_seen else []
@@ -214,8 +240,14 @@ def _apply_policies(winners, slim, data, target, policies: MergePolicies,
     w = w.join(old, KEY_COLS, "left")
 
     for c in policies.coalesce_cols:
-        # last non-null in the batch, else the target's current value
-        overrides[c] = F.coalesce(F.col(f"_bv_{c}"), F.col(f"_old_{c}"))
+        # last non-null in the batch, else the target's current value —
+        # but an in-batch delete wipes row state, so for keys whose last
+        # delete is not followed by a newer non-null set, the target
+        # fallback is suppressed (sequential-replay equivalence)
+        overrides[c] = F.coalesce(
+            F.col(f"_bv_{c}"),
+            F.when(F.col("_dl").isNull(), F.col(f"_old_{c}")),
+        )
     if policies.track_seen:
         seen = slim.select(*KEY_COLS, "_fs", "_ls")
         if do_broadcast:
@@ -298,10 +330,8 @@ def prepare_batch(
     # null bucket. (A null lsn can't reach a batch at all — the LSN
     # window filter and the bounds probe both drop it; use a pre-flight
     # log scan if the source can produce them.)
-    is_bad_op = ~F.coalesce(F.col("op").isin("I", "U", "D", "S"), F.lit(False))
-    bad_reason = F.when(is_bad_op, F.lit("bad_op")).when(
-        (F.col("op") != "S") & (F.col("repo").isNull() | F.col("path").isNull()),
-        F.lit("null_key"),
+    bad_reason = F.when(event_bad_op_expr(), F.lit("bad_op")).when(
+        event_null_key_expr(), F.lit("null_key")
     )
     valid = bad_reason.isNull()
     is_data = live & valid & (F.col("op") != "S")
@@ -356,13 +386,33 @@ def prepare_batch(
             F.when(v.isNotNull() & (F.col("op") != "D"), F.col("lsn")).alias(f"_pc_{c}")
         )
         key_aggs.append(F.max(f"_pc_{c}").alias(f"_pl_{c}"))
+    if policies.coalesce_cols:
+        # per-key in-batch delete watermark: a value set BEFORE a delete
+        # must not survive it (sequential replay wipes row state at the
+        # delete), so a pointer at or below the last delete lsn is
+        # nulled below, and _apply_policies suppresses the target-value
+        # fallback for keys that saw an in-batch delete — otherwise the
+        # result would depend on where the batch boundary fell, breaking
+        # the batch-size invariance the policy suite asserts
+        sel_extra.append(
+            F.when(F.col("op") == "D", F.col("lsn")).alias("_dlv")
+        )
+        key_aggs.append(F.max("_dlv").alias("_dl"))
     if policies.track_seen:
         sel_extra.append(F.col("ts").alias("_ts"))
         key_aggs.append(F.min("_ts").alias("_fs"))
         key_aggs.append(F.max("_ts").alias("_ls"))
-    policy_out = [f"_pl_{c}" for c in policies.coalesce_cols] + (
-        ["_fs", "_ls"] if policies.track_seen else []
-    )
+    policy_out: list = [
+        F.when(
+            F.col("_dl").isNull() | (F.col(f"_pl_{c}") > F.col("_dl")),
+            F.col(f"_pl_{c}"),
+        ).alias(f"_pl_{c}")
+        for c in policies.coalesce_cols
+    ]
+    if policies.coalesce_cols:
+        policy_out.append(F.col("_dl"))
+    if policies.track_seen:
+        policy_out += [F.col("_fs"), F.col("_ls")]
     slim = (
         slim_src.select(
             *KEY_COLS, (F.shiftleft(F.col("lsn"), 2) + op_code).alias("_p"), *sel_extra

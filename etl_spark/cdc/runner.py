@@ -41,22 +41,16 @@ def preflight_counts(events: DataFrame) -> dict:
     never enter a batch (the LSN window filter and the bounds probe both
     drop them), so the in-batch quarantine cannot see them — this scan
     can. Returns counts by problem; all-zero means every event will be
-    either applied or quarantined, none silently invisible."""
+    either applied or quarantined, none silently invisible. The validity
+    predicates are imported from the merge (single source of truth), so
+    this guarantee cannot drift from what the quarantine actually does."""
+    from .merge import event_bad_op_expr, event_null_key_expr
+
     row = events.agg(
         F.count("*").alias("total"),
         F.sum(F.when(F.col("lsn").isNull(), 1).otherwise(0)).alias("null_lsn"),
-        F.sum(
-            F.when(
-                ~F.coalesce(F.col("op").isin("I", "U", "D", "S"), F.lit(False)), 1
-            ).otherwise(0)
-        ).alias("bad_op"),
-        F.sum(
-            F.when(
-                (F.col("op") != "S")
-                & (F.col("repo").isNull() | F.col("path").isNull()),
-                1,
-            ).otherwise(0)
-        ).alias("null_key"),
+        F.sum(F.when(event_bad_op_expr(), 1).otherwise(0)).alias("bad_op"),
+        F.sum(F.when(event_null_key_expr(), 1).otherwise(0)).alias("null_key"),
     ).collect()[0]
     return {k: int(row[k] or 0) for k in ("total", "null_lsn", "bad_op", "null_key")}
 
@@ -100,6 +94,7 @@ def replay(
     if bounds["hi"] is None:
         return []
     hi = int(bounds["hi"])
+    lo = int(bounds["lo"])
 
     def window(cursor: int) -> tuple[int, int, DataFrame]:
         lsn_from, lsn_to = cursor, min(cursor + batch_size, hi)
@@ -108,6 +103,18 @@ def replay(
         )
 
     out: list[BatchMetrics] = []
+    if lo - 1 > table.last_lsn():
+        # fast-forward past the gap below the log's first lsn: a re-based
+        # log (lsns starting at 5e9) would otherwise grind through
+        # thousands of empty windows, each a full prepare cycle plus a
+        # metadata-only commit. No event can live in (checkpoint, lo), so
+        # ONE metadata-only commit advancing the checkpoint to lo - 1 is
+        # exactly-once-preserving — and it keeps apply_prepared's
+        # staleness guard (prep.ckpt == table.last_lsn()) exact.
+        table.commit(
+            table.version() + 1, None, [], lo - 1, table.dyn_schema(),
+            {"fast_forward_from": table.last_lsn()},
+        )
     batch_id = table.version()
     cursor = table.last_lsn()
     pool = ThreadPoolExecutor(max_workers=1) if pipelined else None
@@ -129,11 +136,24 @@ def replay(
                     prepare_batch, spark, table, nxt_batch, batch_id + 1,
                     nxt_from, nxt_to, lsn_to, policies=policies,
                 )
-            bm = applier(
-                spark, table, prep,
-                salted_dedup=salted_dedup, use_arrow_udfs=use_arrow_udfs,
-                policies=policies,
-            )
+            try:
+                bm = applier(
+                    spark, table, prep,
+                    salted_dedup=salted_dedup, use_arrow_udfs=use_arrow_udfs,
+                    policies=policies,
+                )
+            except BaseException:
+                # a failed apply must not leak the concurrently-prepared
+                # next batch's persisted slim (a long-lived driver that
+                # retries replay would accumulate dead cached DataFrames)
+                if nxt is not None:
+                    try:
+                        p = nxt.result()
+                        if p is not None and p.slim is not None:
+                            p.slim.unpersist()
+                    except Exception:
+                        pass
+                raise
             out.append(bm)
             if log:
                 print(json.dumps(bm.to_dict()), file=sys.stderr)

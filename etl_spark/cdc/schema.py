@@ -57,8 +57,15 @@ BASE_TABLE_SCHEMA = T.StructType(BASE_TABLE_FIELDS)
 
 KEY_COLS = ["repo", "path"]
 
-# Names a schema_change event may never touch.
-PROTECTED_COLS = {f.name for f in BASE_TABLE_FIELDS}
+# Names a schema_change event may never touch: the table's base fields,
+# every event-log field name the merge references by name (a dyn column
+# called 'op' or 'extra' would make the merge join's column references
+# ambiguous and crash every subsequent batch), and the engine's
+# underscore namespace ('_bucket' is the write partitioner; all '_'-
+# prefixed names are reserved for internal expressions).
+PROTECTED_COLS = {f.name for f in BASE_TABLE_FIELDS} | {
+    f.name for f in EVENT_SCHEMA
+}
 
 
 def ddl_to_type(ddl: str) -> T.DataType:

@@ -68,6 +68,16 @@ def test_illegal_changes_rejected():
         apply_to_dyn_schema(
             [("n", "int")], [SchemaChange(1, "add", "n", None, "int")]
         )
+    # engine-internal names: a dyn column named 'op' would make the merge
+    # join's F.col('op') ambiguous and crash every later batch; '_bucket'
+    # would be clobbered by the write partitioner; all '_' names reserved
+    for bad in ("op", "lsn", "extra", "_bucket", "_anything"):
+        with pytest.raises(SchemaEvolutionError, match="protected|reserved"):
+            apply_to_dyn_schema([], [SchemaChange(1, "add", bad, None, "string")])
+        with pytest.raises(SchemaEvolutionError, match="protected|reserved|unknown"):
+            apply_to_dyn_schema(
+                [("ok", "string")], [SchemaChange(1, "rename", "ok", bad, None)]
+            )
 
 
 def test_add_is_metadata_only_widen_rewrites(spark, tmp_path):

@@ -84,6 +84,48 @@ def test_changelog_diffs_are_bucket_scoped():
     assert all(tags.count(t) == 1 for t in tags)
 
 
+def test_commit_concurrency_and_retention_guards(spark, tmp_path, replayed):
+    """(a) Two writers racing to publish the same version: exactly one
+    wins, the loser gets ConcurrentCommitError instead of silently
+    overwriting the manifest and regressing the checkpoint.
+    (b) expire_snapshots(keep_last=0) would delete every manifest and
+    data dir while _LATEST still points at the removed version — it must
+    be rejected up front."""
+    from etl_spark.cdc.lake import ConcurrentCommitError
+
+    v, ckpt = replayed.version(), replayed.last_lsn()
+    state = _state(replayed)
+    with pytest.raises(ConcurrentCommitError):
+        # a stale writer re-publishing the CURRENT version
+        replayed.commit(v, None, [], ckpt, [], {})
+    assert replayed.version() == v and replayed.last_lsn() == ckpt
+    assert _state(replayed) == state
+
+    with pytest.raises(ValueError, match="keep_last"):
+        replayed.expire_snapshots(keep_last=0)
+    assert _state(replayed) == state
+
+
+def test_replay_fast_forwards_rebased_log(spark, tmp_path):
+    """A re-based log (lsns starting far above the checkpoint) must not
+    grind through thousands of empty windows: the cursor fast-forwards to
+    just below min(lsn), preserving exactly-once."""
+    rows = [(5_000_000 + i, "I", "r", f"k{i}", "c", "py", f"x{i}",
+             "2024-01-01 00:00:00", None, None) for i in range(1, 7)]
+    df = spark.createDataFrame(
+        rows,
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, ts string, extra map<string,string>, "
+        "schema_change struct<kind:string,column:string,new_name:string,new_type:string>",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    t = SnapshotTable(spark, str(tmp_path / "rebased"), n_buckets=2)
+    metrics = replay(spark, df, t, batch_size=3)
+    assert len(metrics) == 2, [m.to_dict() for m in metrics]
+    assert t.read().count() == 6
+    # resume is still a no-op
+    assert replay(spark, df, t, batch_size=3) == []
+
+
 def test_changelog_long_history_constant_plan(spark, tmp_path):
     """A 200-commit interval reads as ONE constant-depth plan — parquet
     scan count independent of commit count (the naive shape, one

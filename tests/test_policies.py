@@ -50,6 +50,73 @@ def test_coalesce_policy_batch_invariant(spark, tmp_path, batch_size):
     assert a["content_sha256"] == hashlib.sha256(b"A2").hexdigest()
 
 
+DELETE_ROWS = [
+    (1, "I", "r1", "a", "c1", "py", "A1", "2024-01-01 00:00:00", None, None),
+    (2, "D", "r1", "a", None, None, None, "2024-01-02 00:00:00", None, None),
+    # re-insert with NULL content: the pre-delete A1 must NOT resurrect
+    (3, "I", "r1", "a", "c3", "py", None, "2024-01-03 00:00:00", None, None),
+    # second key: delete then re-insert with a value after the delete
+    (4, "I", "r1", "b", "c4", "py", "B1", "2024-01-04 00:00:00", None, None),
+    (5, "D", "r1", "b", None, None, None, "2024-01-05 00:00:00", None, None),
+    (6, "I", "r1", "b", "c6", "py", "B2", "2024-01-06 00:00:00", None, None),
+]
+
+
+@pytest.mark.parametrize("batch_size", [1, 3, 6])
+def test_coalesce_policy_delete_does_not_resurrect(spark, tmp_path, batch_size):
+    """A delete wipes row state: a value set BEFORE an in-batch delete
+    (or in an earlier batch) must not leak into a post-delete re-insert
+    through the coalesce fallback — result independent of where the
+    batch boundary falls."""
+    t = SnapshotTable(spark, str(tmp_path / f"ld{batch_size}"), n_buckets=2)
+    replay(spark, _log(spark, DELETE_ROWS), t, batch_size=batch_size,
+           policies=MergePolicies(coalesce_cols=("content",)))
+    got = {(r["repo"], r["path"]): r.asDict() for r in t.read().collect()}
+    assert got[("r1", "a")]["content"] is None, batch_size
+    assert got[("r1", "b")]["content"] == "B2", batch_size
+
+
+def test_coalesce_policy_duplicate_pointer_delivery(spark, tmp_path):
+    """At-least-once delivery: the pointer event arriving twice must not
+    fan the winner row out into duplicate table rows (the value fetch
+    joins on (key, lsn) and collapses re-deliveries first)."""
+    rows = ROWS + [ROWS[4]]  # lsn 5 (the content pointer for key a) twice
+    t = SnapshotTable(spark, str(tmp_path / "lkdup"), n_buckets=2)
+    replay(spark, _log(spark, rows), t, batch_size=7,
+           policies=MergePolicies(coalesce_cols=("content",)))
+    rows_out = t.read().collect()
+    assert len(rows_out) == 2, [r.asDict() for r in rows_out]
+    got = {(r["repo"], r["path"]): r.asDict() for r in rows_out}
+    assert got[("r1", "a")]["content"] == "A2"
+
+
+def test_merge_into_with_coalesce_policy(spark, tmp_path):
+    """merge_into stamps ONE synthetic lsn across the whole source batch;
+    with a coalesce policy the per-key value fetch must still resolve
+    each key to ITS OWN row (key-aware join), never another key's value
+    and never a row-count blow-up."""
+    from etl_spark.cdc.merge_into import merge_into
+
+    t = SnapshotTable(spark, str(tmp_path / "lkmi"), n_buckets=2)
+    pol = MergePolicies(coalesce_cols=("content",))
+    src1 = spark.createDataFrame(
+        [("r1", "a", "c1", "py", "A1"), ("r1", "b", "c1", "py", "B1")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    merge_into(spark, t, src1, policies=pol)
+    # partial update: a's content NULL keeps A1; b gets a new value
+    src2 = spark.createDataFrame(
+        [("r1", "a", "c2", "py", None), ("r1", "b", "c2", "py", "B2")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    merge_into(spark, t, src2, policies=pol)
+    rows_out = t.read().collect()
+    assert len(rows_out) == 2, [r.asDict() for r in rows_out]
+    got = {(r["repo"], r["path"]): r.asDict() for r in rows_out}
+    assert got[("r1", "a")]["content"] == "A1"
+    assert got[("r1", "b")]["content"] == "B2"
+
+
 @pytest.mark.parametrize("batch_size", [1, 2, 6])
 def test_track_seen_batch_invariant(spark, tmp_path, batch_size):
     t = SnapshotTable(spark, str(tmp_path / f"lk{batch_size}"), n_buckets=2)
