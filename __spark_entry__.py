@@ -91,6 +91,26 @@ def oracle_sql() -> dict[str, str]:
                    lsn AS last_lsn
             FROM last WHERE rn = 1 AND op <> 'D'
         """,
+        # the merge-on-read write path must be VALUE-identical to CoW:
+        # same last-writer-wins oracle, but the Spark side reads through
+        # uncompacted delta chains (lake._read_merged reconstruction)
+        "cdc_replay_delta": """
+            WITH log AS (
+              SELECT event_id AS lsn,
+                     CASE WHEN event_type = 'error' THEN 'D'
+                          WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+                     'u' || CAST(user_id % 50 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     md5(CAST(event_id AS VARCHAR)) AS commit,
+                     CASE WHEN event_type <> 'error' THEN props END AS content
+              FROM events),
+            last AS (
+              SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+              FROM log)
+            SELECT repo, path, commit, content, sha256(content) AS content_sha256,
+                   lsn AS last_lsn
+            FROM last WHERE rn = 1 AND op <> 'D'
+        """,
         "time_travel_incremental": """
             WITH log AS (
               SELECT event_id AS lsn,

@@ -34,8 +34,10 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from .dedup import bucket_expr
-from .lake import SnapshotTable
+from .lake import TOMBSTONE_COL, SnapshotTable, _chain
 from .schema import KEY_COLS
 
 
@@ -64,19 +66,31 @@ def audit_table(spark: SparkSession, table: SnapshotTable) -> dict:
     # --- data invariants: one pruned scan + one aggregation --------------
     # bucket placement needs the physical dir of each row: read per-bucket
     # dirs with a literal bucket id (cheap union of pruned scans; each
-    # branch reads only keys + lsn + the two content columns)
+    # branch reads only keys + lsn + the two content columns). Merge-on-
+    # read chains are audited on the RAW rows: per key, multiplicity is
+    # legal across a chain but (a) never within one dir and (b) every
+    # row of a key must carry a distinct _last_lsn, or the read-side
+    # winner (max lsn) would be ambiguous.
+    raw_schema = T.StructType(
+        list(table.table_schema().fields)
+        + [T.StructField(TOMBSTONE_COL, T.BooleanType())]
+    )
     parts = []
-    for b_str, rel in m["files"].items():
-        d = os.path.join(table.root, rel)
-        if not os.path.isdir(d):
-            continue  # already reported by bucket_dirs_exist; audit the rest
-        parts.append(
-            spark.read.schema(table.table_schema()).parquet(d)
-            .select(
-                *KEY_COLS, "_last_lsn", "content", "content_sha256",
-                F.lit(int(b_str)).alias("_dir_bucket"),
+    for b_str, entry in m["files"].items():
+        chained = not isinstance(entry, str)
+        for i, rel in enumerate(_chain(entry)):
+            d = os.path.join(table.root, rel)
+            if not os.path.isdir(d):
+                continue  # reported by bucket_dirs_exist; audit the rest
+            parts.append(
+                spark.read.schema(raw_schema).parquet(d)
+                .select(
+                    *KEY_COLS, "_last_lsn", "content", "content_sha256",
+                    F.lit(int(b_str)).alias("_dir_bucket"),
+                    F.lit(f"{b_str}/{i}").alias("_dir"),
+                    F.lit(chained).alias("_chained"),
+                )
             )
-        )
     if not parts:
         return {"ok": False, "version": v, "checks": checks}
     df = parts[0]
@@ -86,6 +100,8 @@ def audit_table(spark: SparkSession, table: SnapshotTable) -> dict:
     agg = df.select(
         *KEY_COLS,
         "_last_lsn",
+        "_dir",
+        "_chained",
         (bucket_expr(table.n_buckets) != F.col("_dir_bucket")).cast("int").alias("_misplaced"),
         F.when(
             F.col("content").isNotNull()
@@ -97,6 +113,9 @@ def audit_table(spark: SparkSession, table: SnapshotTable) -> dict:
         agg.groupBy(*KEY_COLS)
         .agg(
             F.count("*").alias("_n"),
+            F.countDistinct("_dir").alias("_nd_dir"),
+            F.countDistinct("_last_lsn").alias("_nd_lsn"),
+            F.max(F.col("_chained").cast("int")).alias("_chn"),
             F.max("_last_lsn").alias("_lsn"),
             F.sum("_misplaced").alias("_mis"),
             F.sum("_sha_bad").alias("_sha"),
@@ -104,7 +123,17 @@ def audit_table(spark: SparkSession, table: SnapshotTable) -> dict:
         .agg(
             F.count("*").alias("n_keys"),
             F.sum("_n").alias("n_rows"),
-            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("dup_keys"),
+            # a key is duplicated iff: >1 row in a pure-CoW bucket; or
+            # >1 row in ONE dir of a chain; or two chain rows sharing a
+            # _last_lsn (ambiguous merge-on-read winner)
+            F.sum(
+                F.when(
+                    ((F.col("_chn") == 0) & (F.col("_n") > 1))
+                    | (F.col("_n") > F.col("_nd_dir"))
+                    | (F.col("_n") > F.col("_nd_lsn")),
+                    1,
+                ).otherwise(0)
+            ).alias("dup_keys"),
             F.max("_lsn").alias("max_lsn"),
             F.sum("_mis").alias("misplaced"),
             F.sum("_sha").alias("sha_mismatch"),

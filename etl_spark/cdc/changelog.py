@@ -101,6 +101,17 @@ def read_changelog(
     if to_version < from_version:
         raise ValueError(f"to_version {to_version} < from_version {from_version}")
     manifests = {v: table.manifest_at(v) for v in range(from_version, to_version + 1)}
+    chained = sorted({
+        b for m in manifests.values()
+        for b, entry in m["files"].items() if not isinstance(entry, str)
+    })
+    if chained:
+        raise NotImplementedError(
+            "read_changelog over merge-on-read delta commits is not "
+            f"supported yet (buckets {chained[:8]} are delta chains in the "
+            "interval); run maintain.compact to fold chains, then read the "
+            "changelog across the compacted snapshots"
+        )
     tags = _dir_tags(manifests, from_version, to_version)
     if not tags:
         schema_src = table.read().select(

@@ -19,6 +19,17 @@ table layer hand-builds the Iceberg properties the engine needs:
   dir; a batch rewrites only touched buckets and carries the rest
   forward by reference, so MERGE cost scales with the update footprint,
   not table size.
+- **Merge-on-read delta chains** (deferred-compaction CoW, the Iceberg
+  MoR / Hudi analog): a bucket's manifest entry may instead be a LIST of
+  dirs — a base followed by delta dirs in commit order. A delta commit
+  appends only the batch's winner rows (deletes as ``_tombstone`` rows),
+  so WRITE cost per batch is O(batch), independent of table size — the
+  shape that survives 10^10-event ingest where even bucket-scoped CoW
+  rewrites ~the whole table every batch once updates spread across all
+  buckets. Reads reconstruct the current row per key (max ``_last_lsn``
+  wins, tombstones drop); ``maintain.compact`` folds a chain back into
+  the pure CoW layout, after which reads take the plain-scan fast path
+  again. Final state is byte-identical to CoW replay (tests/test_delta).
 
 Layout:
     root/
@@ -50,6 +61,18 @@ from .schema import BASE_TABLE_FIELDS
 
 class SnapshotExpiredError(ValueError):
     """Time-travel target no longer materialized (expired by retention)."""
+
+
+# Marker column present only in delta (merge-on-read) files: True = the
+# key was deleted as of this row's _last_lsn. Base/CoW files lack the
+# column entirely and read as null under the explicit read schema.
+TOMBSTONE_COL = "_tombstone"
+
+
+def _chain(entry) -> list[str]:
+    """A manifest ``files`` value as a dir chain. ``str`` is the pure-CoW
+    base form; a list is base + deltas in commit order (merge-on-read)."""
+    return [entry] if isinstance(entry, str) else list(entry)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -99,6 +122,11 @@ class SnapshotTable:
         # fixed columns of this table's row shape; the default is the CDC
         # mirror shape, SCD2 history tables pass their own (scd2.py)
         self.base_fields = list(base_fields) if base_fields else list(BASE_TABLE_FIELDS)
+        # merge-on-read winner key (delta chains only; SCD2 history
+        # tables multi-row by design never take delta commits)
+        from .schema import KEY_COLS
+
+        self.key_cols = list(KEY_COLS)
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "metrics"), exist_ok=True)
@@ -156,7 +184,30 @@ class SnapshotTable:
     def _bucket_dirs(self, m: dict, buckets: list[int] | None = None) -> list[str]:
         files = m["files"]
         keys = [str(b) for b in buckets] if buckets is not None else list(files)
-        return [os.path.join(self.root, files[k]) for k in keys if k in files]
+        return [
+            os.path.join(self.root, d)
+            for k in keys if k in files
+            for d in _chain(files[k])
+        ]
+
+    def _split_entries(
+        self, m: dict, buckets: list[int] | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(plain base dirs, chained dirs) for the bucket selection. A
+        bucket whose entry is a list — even of length 1 — goes to the
+        chained side: its dirs may hold tombstones and per-key history,
+        so it must be read through the merge path."""
+        files = m["files"]
+        keys = [str(b) for b in buckets] if buckets is not None else list(files)
+        base: list[str] = []
+        chained: list[str] = []
+        for k in keys:
+            if k not in files:
+                continue
+            entry = files[k]
+            dirs = [os.path.join(self.root, d) for d in _chain(entry)]
+            (base if isinstance(entry, str) else chained).extend(dirs)
+        return base, chained
 
     def manifest_at(self, version: int) -> dict:
         """The committed manifest of an arbitrary snapshot version.
@@ -200,10 +251,47 @@ class SnapshotTable:
             manifest = self.manifest_at(version)
         m = manifest or self.manifest()
         schema = self.table_schema([tuple(c) for c in m["dyn_schema"]])
-        dirs = self._bucket_dirs(m, buckets)
-        if not dirs:
+        base_dirs, chain_dirs = self._split_entries(m, buckets)
+        if not base_dirs and not chain_dirs:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+        parts: list[DataFrame] = []
+        if base_dirs:
+            # pure-CoW fast path: every selected bucket holds exactly one
+            # current row per key — a plain scan, no merge work, the plan
+            # shape every downstream (pushdown, pruning) relies on
+            parts.append(self.spark.read.schema(schema).parquet(*base_dirs))
+        if chain_dirs:
+            parts.append(self._read_merged(chain_dirs, schema))
+        return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+    def _read_merged(self, dirs: list[str], schema: T.StructType) -> DataFrame:
+        """Merge-on-read reconstruction over delta chains: per key the
+        row with max ``_last_lsn`` wins (lsns strictly increase per key
+        per write, so the winner is unique), then tombstone winners drop.
+
+        Plan shape at scale: the winner probe is a slim HashAggregate —
+        only (key, long) crosses the shuffle — and the join-back on
+        (key, _last_lsn) moves each wide row once, exactly the slim/semi
+        shape the merge itself uses (never max_by over a wide struct,
+        which plans SortAggregate). The join is on key AND lsn because
+        ``merge_into`` stamps one synthetic lsn across a whole source
+        batch — an lsn-only semi join would resurrect another key's
+        stale row that happens to share the winner's lsn. Cost scales
+        with the CHAINED buckets' rows only; compacted buckets never
+        enter this subplan.
+        """
+        sch = T.StructType(
+            list(schema.fields) + [T.StructField(TOMBSTONE_COL, T.BooleanType())]
+        )
+        raw = self.spark.read.schema(sch).parquet(*dirs)
+        winners = raw.groupBy(*self.key_cols).agg(
+            F.max("_last_lsn").alias("_last_lsn")
+        )
+        return (
+            raw.join(winners, [*self.key_cols, "_last_lsn"], "semi")
+            .where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+            .drop(TOMBSTONE_COL)
+        )
 
     def lookup(self, keys: list[tuple[str, str]]) -> DataFrame:
         """Point / small-batch key read: rows for the given (repo, path)
@@ -322,6 +410,42 @@ class SnapshotTable:
             "committed_at": time.time(),
             "metrics": metrics,
         }
+        return self._publish(version, manifest, metrics)
+
+    def commit_delta(
+        self,
+        version: int,
+        delta_dir: str,
+        last_lsn: int,
+        dyn_schema: list[tuple[str, str]],
+        metrics: dict,
+    ) -> dict:
+        """Publish version N as a merge-on-read DELTA commit: every
+        ``_bucket=`` dir under ``delta_dir`` APPENDS to its bucket's
+        chain instead of replacing it. Untouched buckets carry forward
+        unchanged. Readers reconstruct via ``_read_merged``; compaction
+        (maintain.compact) folds a chain back to a single base dir."""
+        prev = self.manifest()
+        files: dict = dict(prev["files"])
+        rel = os.path.relpath(delta_dir, self.root)
+        for entry in sorted(os.listdir(delta_dir)):
+            if entry.startswith("_bucket="):
+                b = entry.split("=", 1)[1]
+                prev_chain = _chain(files[b]) if b in files else []
+                files[b] = prev_chain + [os.path.join(rel, entry)]
+        manifest = {
+            "version": version,
+            "parent": prev["version"],
+            "last_lsn": int(last_lsn),
+            "dyn_schema": [list(c) for c in dyn_schema],
+            "files": files,
+            "n_buckets": self.n_buckets,
+            "committed_at": time.time(),
+            "metrics": metrics,
+        }
+        return self._publish(version, manifest, metrics)
+
+    def _publish(self, version: int, manifest: dict, metrics: dict) -> dict:
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
         # exclusive: a concurrent writer that prepared against the same
         # parent (continuous ingest racing a background compact/rebucket)
@@ -339,7 +463,11 @@ class SnapshotTable:
 
     def live_data_dirs(self) -> set[str]:
         m = self.manifest()
-        return {os.path.normpath(os.path.join(self.root, p)) for p in m["files"].values()}
+        return {
+            os.path.normpath(os.path.join(self.root, p))
+            for entry in m["files"].values()
+            for p in _chain(entry)
+        }
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Drop manifests/data older than the last N versions (reference
@@ -358,9 +486,10 @@ class SnapshotTable:
             if os.path.exists(p):
                 with open(p) as f:
                     m = json.load(f)
-                for rel in m["files"].values():
-                    # a bucket dir lives under data/v{K}/; keep that version dir
-                    live.add(rel.split("/")[1])
+                for entry in m["files"].values():
+                    for rel in _chain(entry):
+                        # a bucket dir lives under data/v{K}/; keep that version dir
+                        live.add(rel.split("/")[1])
         removed = []
         data_root = os.path.join(self.root, "data")
         for entry in sorted(os.listdir(data_root)):

@@ -21,18 +21,31 @@ import time
 from pyspark.sql import SparkSession
 
 from .dedup import bucket_expr
-from .lake import SnapshotTable
+from .lake import SnapshotTable, _chain
 
 
 def bucket_file_stats(table: SnapshotTable) -> dict[int, int]:
-    """Parquet file count per live bucket (driver-side listing of the
-    manifest's bucket dirs — metadata only, no Spark job)."""
+    """Parquet file count per live bucket, summed across the bucket's
+    whole dir chain (driver-side listing — metadata only, no Spark
+    job)."""
     m = table.manifest()
     out: dict[int, int] = {}
-    for b, rel in m["files"].items():
-        d = os.path.join(table.root, rel)
-        out[int(b)] = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    for b, entry in m["files"].items():
+        out[int(b)] = sum(
+            1
+            for rel in _chain(entry)
+            for f in os.listdir(os.path.join(table.root, rel))
+            if f.endswith(".parquet")
+        )
     return out
+
+
+def chained_buckets(table: SnapshotTable) -> list[int]:
+    """Buckets whose manifest entry is a merge-on-read delta chain."""
+    return sorted(
+        int(b) for b, entry in table.manifest()["files"].items()
+        if not isinstance(entry, str)
+    )
 
 
 def compact(
@@ -54,7 +67,14 @@ def compact(
     t0 = time.time()
     manifest = table.manifest()
     touched = sorted(
-        b for b, n in bucket_file_stats(table).items() if n > max_files_per_bucket
+        set(
+            b for b, n in bucket_file_stats(table).items()
+            if n > max_files_per_bucket
+        )
+        # delta chains always fold: compaction is what returns a
+        # merge-on-read bucket to the plain-scan fast path and drops
+        # superseded rows + tombstones from disk
+        | set(chained_buckets(table))
     )
     metrics: dict = {"op": "compact", "buckets_touched": len(touched)}
     if not touched:
@@ -111,9 +131,10 @@ def remove_orphans(table: SnapshotTable, min_age_secs: float = 3600.0) -> list[s
         live.add(entry[:-5])
         with open(os.path.join(manifests_dir, entry)) as f:
             m = json.load(f)
-        for rel in m["files"].values():
-            # bucket dirs live under data/v{K}/_bucket=...; keep v{K}
-            live.add(rel.split("/")[1])
+        for e in m["files"].values():
+            for rel in _chain(e):
+                # bucket dirs live under data/v{K}/_bucket=...; keep v{K}
+                live.add(rel.split("/")[1])
     now = time.time()
     for entry in sorted(os.listdir(data_root)):
         if not entry.startswith("v") or entry in live:

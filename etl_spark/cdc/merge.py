@@ -67,7 +67,7 @@ from .evolve import (
     remap_extra_keys,
     requires_rewrite,
 )
-from .lake import SnapshotTable
+from .lake import TOMBSTONE_COL, SnapshotTable
 from .metrics import BatchMetrics
 from .policies import BASE_EVENT_VALUE_COLS, NO_POLICIES, SEEN_COLS, MergePolicies
 from .schema import KEY_COLS
@@ -221,11 +221,13 @@ def _apply_policies(winners, slim, data, target, policies: MergePolicies,
         )
         kv = ptr.join(vals, [*KEY_COLS, "_ptr"], "left").select(*KEY_COLS, f"_bv_{c}")
         w = w.join(kv, KEY_COLS, "left")
-    if policies.coalesce_cols:
-        dl = slim.select(*KEY_COLS, "_dl")
-        if do_broadcast:
-            dl = F.broadcast(dl)
-        w = w.join(dl, KEY_COLS, "left")
+    # the per-key in-batch delete watermark gates BOTH policies: it
+    # suppresses the coalesce target fallback and restarts the
+    # track_seen window (sequential-replay equivalence)
+    dl = slim.select(*KEY_COLS, "_dl")
+    if do_broadcast:
+        dl = F.broadcast(dl)
+    w = w.join(dl, KEY_COLS, "left")
 
     tgt_cols = list(policies.coalesce_cols) + (
         ["first_seen", "last_seen"] if policies.track_seen else []
@@ -253,9 +255,38 @@ def _apply_policies(winners, slim, data, target, policies: MergePolicies,
         if do_broadcast:
             seen = F.broadcast(seen)
         w = w.join(seen, KEY_COLS, "left")
-        # least/greatest skip nulls, so a fresh key takes the batch value
-        overrides["first_seen"] = F.least(F.col("_fs"), F.col("_old_first_seen"))
-        overrides["last_seen"] = F.greatest(F.col("_ls"), F.col("_old_last_seen"))
+        # delete-barrier refinement: for a key deleted and re-set within
+        # ONE batch, sequential replay folds min/max(ts) only over the
+        # events AFTER the last delete — the whole-batch _fs/_ls would
+        # leak the wiped incarnation's timestamps, making first_seen
+        # depend on where the batch boundary fell. Recompute the seen
+        # window for exactly those keys from the batch scan, semi-
+        # reduced by the (usually EMPTY) delete-survivor key set: with
+        # AQE on, an empty broadcast side collapses this whole subplan
+        # to an empty relation at runtime, so clean batches pay nothing.
+        dk = slim.where(
+            F.col("_dl").isNotNull() & (F.col("op") != "D")
+        ).select(*KEY_COLS, F.col("_dl").alias("_dl_r"))
+        if do_broadcast:
+            dk = F.broadcast(dk)
+        refined = (
+            data.join(dk, KEY_COLS)
+            .where(F.col("lsn") > F.col("_dl_r"))
+            .groupBy(*KEY_COLS)
+            .agg(F.min("ts").alias("_fs2"), F.max("ts").alias("_ls2"))
+        )
+        w = w.join(refined, KEY_COLS, "left")
+        fs = F.coalesce(F.col("_fs2"), F.col("_fs"))
+        ls = F.coalesce(F.col("_ls2"), F.col("_ls"))
+        # least/greatest skip nulls, so a fresh key takes the batch
+        # value; an in-batch delete wipes the carried history, so the
+        # target's old window is suppressed exactly like coalesce above
+        overrides["first_seen"] = F.least(
+            fs, F.when(F.col("_dl").isNull(), F.col("_old_first_seen"))
+        )
+        overrides["last_seen"] = F.greatest(
+            ls, F.when(F.col("_dl").isNull(), F.col("_old_last_seen"))
+        )
     return w, overrides
 
 
@@ -386,14 +417,16 @@ def prepare_batch(
             F.when(v.isNotNull() & (F.col("op") != "D"), F.col("lsn")).alias(f"_pc_{c}")
         )
         key_aggs.append(F.max(f"_pc_{c}").alias(f"_pl_{c}"))
-    if policies.coalesce_cols:
-        # per-key in-batch delete watermark: a value set BEFORE a delete
-        # must not survive it (sequential replay wipes row state at the
-        # delete), so a pointer at or below the last delete lsn is
-        # nulled below, and _apply_policies suppresses the target-value
-        # fallback for keys that saw an in-batch delete — otherwise the
-        # result would depend on where the batch boundary fell, breaking
-        # the batch-size invariance the policy suite asserts
+    if policies.active:
+        # per-key in-batch delete watermark: row state set BEFORE a
+        # delete must not survive it (sequential replay wipes the row at
+        # the delete), so a coalesce pointer at or below the last delete
+        # lsn is nulled below, _apply_policies suppresses the
+        # target-value fallback for keys that saw an in-batch delete,
+        # and the track_seen window restarts after the delete —
+        # otherwise the result would depend on where the batch boundary
+        # fell, breaking the batch-size invariance the policy suite
+        # asserts
         sel_extra.append(
             F.when(F.col("op") == "D", F.col("lsn")).alias("_dlv")
         )
@@ -409,7 +442,7 @@ def prepare_batch(
         ).alias(f"_pl_{c}")
         for c in policies.coalesce_cols
     ]
-    if policies.coalesce_cols:
+    if policies.active:
         policy_out.append(F.col("_dl"))
     if policies.track_seen:
         policy_out += [F.col("_fs"), F.col("_ls")]
@@ -549,11 +582,27 @@ def apply_prepared(
     use_arrow_udfs: bool = False,
     use_observations: bool = True,
     policies: MergePolicies = NO_POLICIES,
+    write_mode: str = "cow",
 ) -> BatchMetrics:
     """Phase 2 of a batch: fold schema changes into the table's dynamic
-    schema, CoW-merge the prepared winners into the touched buckets, and
+    schema, merge the prepared winners into the touched buckets, and
     commit. Must run against the exact table state (checkpoint) the
-    batch was prepared for."""
+    batch was prepared for.
+
+    ``write_mode``:
+
+    - ``"cow"`` (default): bucket-scoped copy-on-write — touched buckets
+      are read, merged and rewritten; write cost ~ touched-bucket bytes.
+    - ``"delta"``: merge-on-read — ONLY the batch's winner rows land, as
+      a delta dir appended to each touched bucket's chain (deletes as
+      tombstone rows); the target is never read or rewritten, so write
+      cost is O(batch) regardless of table size. This is the shape that
+      survives 10^10-event ingest where every batch touches every bucket
+      and CoW would rewrite ~the whole table per batch. Reads
+      reconstruct (lake._read_merged); maintain.compact folds back to
+      CoW. Schema changes that force a full rewrite (rename/widen) fall
+      back to one CoW commit.
+    """
     t0 = time.time()
     m = prep.m
     if prep.noop:
@@ -604,6 +653,18 @@ def apply_prepared(
         )
         m.wall_secs = time.time() - t0
         return m
+
+    if write_mode == "delta" and not full_rewrite:
+        try:
+            return _delta_commit(
+                spark, table, m, slim, data, changes, dyn_final, touched,
+                m.duplicate_deliveries == 0,
+                prep.n_keys <= BROADCAST_MAX_ROWS, ckpt, lsn_to,
+                prep.batch_id, salted_dedup, use_arrow_udfs,
+                use_observations, policies, t0,
+            )
+        finally:
+            slim.unpersist()
 
     # target side: only touched buckets are read & rewritten (CoW)
     target = table.read(buckets=None if full_rewrite else touched)
@@ -833,6 +894,122 @@ def _merge_and_commit(
         m.to_dict(),
         full_rewrite=full_rewrite,
     )
+    m.phase_secs["commit"] = round(time.time() - t_phase, 3)
+    m.wall_secs = time.time() - t0
+    return m
+
+
+def _delta_commit(
+    spark, table, m, slim, data, changes, dyn_final, touched, dup_free,
+    do_broadcast, ckpt, lsn_to, batch_id, salted_dedup, use_arrow_udfs,
+    use_observations, policies, t0,
+):
+    """Merge-on-read apply: land ONLY the batch's winner rows as a delta
+    dir appended to each touched bucket's chain (lake.commit_delta);
+    deletes become ``_tombstone`` rows. The target is never read or
+    rewritten (the carried-rewrite term — the one merge phase whose cost
+    grows with TABLE size, not batch size — drops to zero), which is
+    what keeps per-batch cost O(batch) at 10^10-event scale where every
+    batch touches every bucket. The read-side reconstruction and the
+    compaction that amortizes it live in lake._read_merged /
+    maintain.compact.
+
+    Metric semantics vs CoW: without a target probe, insert-vs-update
+    cannot be split — ``inserted`` carries all upserts, ``updated`` is
+    0, and ``deleted`` counts tombstones WRITTEN (a delete for an absent
+    key still lands one; compaction drops it), so ``delete_noop`` is 0.
+    The winners == inserted + updated + deleted + delete_noop invariant
+    still holds.
+    """
+    bcol = bucket_expr(table.n_buckets)
+
+    # winners by SEMI-JOIN REDUCTION, exactly the CoW shape: slim winner
+    # lsns (broadcast when small) filter the scan before anything wide
+    # moves; the full-content dedup shuffle is skipped when the packed
+    # probe proved the batch duplicate-free
+    winner_ids = slim.select("lsn")
+    if do_broadcast:
+        winner_ids = F.broadcast(winner_ids)
+    upd_src = remap_extra_keys(data.join(winner_ids, "lsn", "semi"), changes)
+    winners = (
+        upd_src
+        if dup_free
+        else dedup_last_writer(upd_src, KEY_COLS, "lsn", salted=salted_dedup)
+    )
+    overrides: dict = {}
+    if policies.active:
+        # policies are the one case delta mode must read the target: the
+        # coalesce fallback / first_seen floor live in the PREVIOUS row
+        # state. Pruned to the touched buckets' merged view; tables that
+        # run policy-free (the common mirror) never scan the target.
+        target = evolve_table(table.read(buckets=touched), changes, dyn_final)
+        winners, overrides = _apply_policies(
+            winners, slim, data, target, policies, do_broadcast
+        )
+    upd = _project_updates(
+        winners, dyn_final, use_arrow_udfs=use_arrow_udfs, overrides=overrides
+    ).withColumn("_bucket", bcol)
+    win_obs = (
+        Observation(f"delta_ops_b{batch_id}")
+        if (m.data_events and use_observations)
+        else None
+    )
+    if win_obs is not None:
+        upd = upd.observe(
+            win_obs,
+            F.sum(F.when(F.col("op").isin("I", "U"), 1).otherwise(0)).alias("n_iu"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_d"),
+        )
+
+    data_cols = [f.name for f in table.base_fields] + [n for n, _ in dyn_final]
+    out = (
+        upd.select(
+            *data_cols,
+            (F.col("op") == "D").alias(TOMBSTONE_COL),
+            "_bucket",
+        )
+        # the winner set is small and already deduped; one explicit
+        # repartition bucket-aligns it so partitionBy writes
+        # O(touched buckets) files, not O(tasks x buckets)
+        .repartition(max(len(touched), 1), "_bucket")
+    )
+    version = table.version() + 1
+    out_dir = table.new_data_dir(version)
+    t_phase = time.time()
+    out.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+    m.phase_secs["delta_write"] = round(time.time() - t_phase, 3)
+    t_phase = time.time()
+
+    ops = None
+    if win_obs is not None:
+        try:
+            ops = win_obs.get or None
+        except Exception:
+            ops = None
+    if ops is None and m.data_events:
+        r = slim.agg(
+            F.sum(F.when(F.col("op").isin("I", "U"), 1).otherwise(0)).alias("n_iu"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_d"),
+        ).collect()[0]
+        ops = {"n_iu": r["n_iu"], "n_d": r["n_d"]}
+    ops = ops or {}
+    n_iu = int(ops.get("n_iu") or 0)
+    n_d = int(ops.get("n_d") or 0)
+    m.winners = n_iu + n_d
+    m.conflicts_resolved = m.data_events - m.winners
+    m.inserted = n_iu
+    m.updated = 0
+    m.deleted = n_d
+    m.delete_noop = 0
+    m.rows_out = n_iu + n_d
+    m.buckets_touched = len(touched)
+    m.phase_secs["post_metrics"] = round(time.time() - t_phase, 3)
+
+    t_phase = time.time()
+    m.lineage = _lineage_from_footers(out_dir, version)
+    m.phase_secs["lineage"] = round(time.time() - t_phase, 3)
+    t_phase = time.time()
+    table.commit_delta(version, out_dir, max(ckpt, lsn_to), dyn_final, m.to_dict())
     m.phase_secs["commit"] = round(time.time() - t_phase, 3)
     m.wall_secs = time.time() - t0
     return m

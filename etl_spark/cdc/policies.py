@@ -21,12 +21,13 @@ shuffle of content. Values are fetched by narrow joins on the winner
 pointers only (|keys| rows).
 
 Determinism note: ``first_seen``/``last_seen`` fold min/max over every
-data event APPLIED for the key. Because min/max are associative and the
-running value is carried in the table row, the result is independent of
-batch boundaries — except across a delete, which removes the row (and
-therefore the carried history): a later re-insert restarts the window at
-whatever events share its batch. Deletes + track_seen is documented
-behavior, not a supported invariant.
+data event applied to the key's CURRENT incarnation — a delete removes
+the row and therefore the carried window, and a later re-insert restarts
+it at the first event after the delete. This holds at every batch size:
+across batches the delete physically drops the row; within a batch the
+merge recomputes the window over only the events past the key's last
+delete lsn (merge._apply_policies delete-barrier refinement), so replay
+state is identical to sequential (batch-size-1) application.
 """
 
 from __future__ import annotations

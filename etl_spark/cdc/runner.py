@@ -67,8 +67,19 @@ def replay(
     policies: MergePolicies = NO_POLICIES,
     pipelined: bool = True,
     applier=None,
+    write_mode: str = "cow",
+    compact_every: int | None = None,
 ) -> list[BatchMetrics]:
     """Replay the whole log (or the next ``max_batches``) into the table.
+
+    ``write_mode="delta"`` applies batches merge-on-read (winners-only
+    delta commits, merge.apply_prepared docstring) — the O(batch)-cost
+    write path for tables so large that bucket CoW would rewrite ~the
+    whole table every batch. ``compact_every=K`` folds the delta chains
+    back into plain bucket dirs every K batches (and once at the end),
+    bounding read-side reconstruction cost; compaction changes neither
+    the checkpoint nor the row set, so it composes with the pipelined
+    prepare (which depends only on the log and the LSN cursor).
 
     Pipelined: batch windows are fixed LSN ranges, so the checkpoint
     after batch b is known (= lsn_to(b)) before b commits — the next
@@ -84,9 +95,15 @@ def replay(
 
     from .merge import apply_prepared, prepare_batch
 
-    # the apply phase is pluggable: the default CoW MERGE keeps one
-    # current row per key; scd2.apply_scd2_prepared keeps full history
-    applier = applier or apply_prepared
+    # the apply phase is pluggable: the default MERGE keeps one current
+    # row per key; scd2.apply_scd2_prepared keeps full history
+    if applier is None:
+        if write_mode == "cow":
+            applier = apply_prepared
+        else:
+            import functools
+
+            applier = functools.partial(apply_prepared, write_mode=write_mode)
 
     bounds = events.agg(
         F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
@@ -157,6 +174,14 @@ def replay(
             out.append(bm)
             if log:
                 print(json.dumps(bm.to_dict()), file=sys.stderr)
+            if compact_every and (
+                len(out) % compact_every == 0 or lsn_to >= hi
+            ):
+                from .maintain import compact
+
+                cm = compact(spark, table)
+                if log and cm.get("buckets_touched"):
+                    print(json.dumps(cm), file=sys.stderr)
             cursor = table.last_lsn()
             prep = nxt.result() if nxt is not None else None
             if max_batches and len(out) >= max_batches:
@@ -192,6 +217,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--coalesce-cols", default="",
                     help="comma-separated columns where NULL in an update "
                          "means keep-previous (partial-update CDC)")
+    ap.add_argument("--write-mode", choices=["cow", "delta"], default="cow",
+                    help="cow: bucket-scoped copy-on-write rewrite (default); "
+                         "delta: merge-on-read winners-only commits — O(batch) "
+                         "write cost per batch regardless of table size")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="fold merge-on-read delta chains back into plain "
+                         "bucket dirs every N batches (and once at the end)")
     ap.add_argument("--no-pipeline", action="store_true",
                     help="disable the prepare(b+1)-under-write(b) pipeline "
                          "(debugging; the default overlaps batches)")
@@ -253,6 +285,8 @@ def main(argv: list[str] | None = None) -> None:
             track_seen=args.track_seen,
         ),
         pipelined=not args.no_pipeline,
+        write_mode=args.write_mode,
+        compact_every=args.compact_every,
     )
     secs = _time.time() - t0
     total = sum(bm.events_seen for bm in metrics)

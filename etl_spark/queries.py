@@ -162,6 +162,31 @@ def q_cdc_replay_snapshot(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_cdc_replay_delta(spark, sf_dir) -> DataFrame:
+    """The same full-engine replay as `cdc_replay_snapshot` but through
+    the merge-on-read write path (`write_mode="delta"`): each batch
+    lands only its winner rows as delta-chain appends (deletes as
+    tombstones), never reading or rewriting the target — O(batch) write
+    cost per batch regardless of table size. Deliberately NOT compacted,
+    so the oracle checks the read-side reconstruction
+    (lake._read_merged) itself, not a folded copy. Oracle: identical
+    last-writer-wins SQL — delta and CoW replay must be value-identical."""
+    _prep(spark)
+    from .cdc.runner import replay
+
+    key = (id(spark.sparkContext), sf_dir, "delta")
+    t = _REPLAY_CACHE.get(key)
+    if t is None:
+        t = _session_table(spark)
+        replay(spark, _events_as_cdc_log(spark, sf_dir), t,
+               batch_size=4000, write_mode="delta")
+        _REPLAY_CACHE[key] = t
+    return t.read().select(
+        "repo", "path", "commit", "content", "content_sha256",
+        (F.col("_last_lsn") - 1).alias("last_lsn"),
+    )
+
+
 def q_time_travel_incremental(spark, sf_dir) -> DataFrame:
     """K6+: snapshot time travel + incremental scan (Iceberg
     VERSION AS OF / incremental-read analogs over the manifest history;
@@ -891,6 +916,7 @@ QUERIES = {
     "window_dedup": q_window_dedup,
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "cdc_replay_snapshot": q_cdc_replay_snapshot,
+    "cdc_replay_delta": q_cdc_replay_delta,
     "predicate_delete": q_predicate_delete,
     "time_travel_incremental": q_time_travel_incremental,
     "changelog_feed": q_changelog_feed,
