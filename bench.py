@@ -767,6 +767,30 @@ now scales at or above the hardware's own memory-bandwidth curve.
 """
 
 
+def _mor_md_section(res: dict) -> str:
+    """Merge-on-read (write_mode=delta) same-window evidence, if
+    recorded: interleaved single-shot pinned runs, cow vs delta on the
+    same log, with host probes — the protocol the code-delta section
+    explains."""
+    d = res.get("mor_mode_session")
+    if not d:
+        return ""
+    rows = "\n".join(
+        f"| {r['mode']} | {r['cores']} | {r['eps']:,.0f} | {r['probe_mops8']} |"
+        for r in d["runs"]
+    )
+    return f"""## Merge-on-read write mode (same-window cow vs delta pairs)
+
+{d['note']}.
+
+| mode | cores | events/s | host probe (Mops8) |
+|---|---|---|---|
+{rows}
+
+{d['verdict']}
+"""
+
+
 def _rejected_md_section(res: dict) -> str:
     """Rejected re-measurement sessions for the local[N] protocol —
     recorded, never silently dropped (the honesty ledger the adopted
@@ -849,6 +873,7 @@ from host contention.
 {_scaling_verdict_prose(res)}
 
 {_code_delta_md_section(res)}
+{_mor_md_section(res)}
 {_rejected_md_section(res)}
 
 Determinism under parallelism: final table state hash identical across
