@@ -37,6 +37,17 @@ Design — *reconstruct lazily from snapshots, never write a second log*:
   changelog-invisible by construction. The payload is then fetched by
   joining the slim verdicts back to the tagged rows on
   (key, commit, winning side).
+- **Merge-on-read chains are first-class.** A commit whose bucket entry
+  is a delta CHAIN diffs as dir SETS: the untouched chain prefix is
+  tagged once with role ``b`` (it is simultaneously the old state and
+  part of the new state), the appended delta dir is the ``n`` side, and
+  each side's state is the max-``_last_lsn`` winner with the winner's
+  ``_tombstone`` flag riding the low bit of the packed long — so a
+  tombstoned winner means "absent", making delete-then-reinsert across
+  delta commits classify correctly and compaction (chain -> new base,
+  same winners) emit nothing. Same plan shape, still one scan; the cost
+  is the interval's chained rows × the commits each dir participates in
+  (O(chain) per single-version read — the ``replicate.sync`` cadence).
 - Output column convention follows Delta CDF: ``_change_type``,
   ``_commit_version``; the row payload is the post-image (pre-image for
   deletes).
@@ -50,7 +61,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .lake import SnapshotTable
+from .lake import TOMBSTONE_COL, SnapshotTable, _chain
 from .schema import KEY_COLS
 
 CHANGE_COLS = ["commit", "lang", "content", "content_sha256", "_last_lsn"]
@@ -65,23 +76,30 @@ def _dir_tags(manifests: dict[int, dict], from_version: int, to_version: int
               ) -> list[tuple[str, int, str]]:
     """(bucket-dir relpath, commit version, role) for every diff side in
     the interval. Walking the manifest chain per bucket: each commit
-    where a bucket's dir reference changes contributes the outgoing dir
-    as the ``o`` side and the incoming dir as the ``n`` side of that
-    commit's diff (either may be absent — bucket born or emptied). A dir
-    carried forward by reference across commits appears in no diff, and
-    any one dir appears at most twice (new side once, old side once), so
-    the tag list is O(changed buckets), never O(commits × buckets)."""
+    where a bucket's dir CHAIN changes contributes the outgoing dirs as
+    the ``o`` side and the incoming dirs as the ``n`` side of that
+    commit's diff; a dir on BOTH sides (the untouched prefix of a
+    merge-on-read chain append) is tagged once as ``b`` and serves both
+    sides of the verdict aggregate. Either side may be empty — bucket
+    born or emptied. A CoW commit contributes exactly one ``o`` and one
+    ``n`` dir, so for pure-CoW tables the tag list stays O(changed
+    buckets). A delta append contributes its prefix as ``b`` every time
+    the chain grows, so a K-commit interval over an L-dir chain costs
+    O(K × L) tags (i.e. the chain is re-scanned per commit it
+    participates in) — per-version consumers (``replicate.sync``) pay
+    O(chain) per sync, and ``maintain.compact`` resets the chain."""
     tags: list[tuple[str, int, str]] = []
     cur = dict(manifests[from_version]["files"])
     for v in range(from_version + 1, to_version + 1):
         nxt = manifests[v]["files"]
         for b in set(cur) | set(nxt):
-            o, n = cur.get(b), nxt.get(b)
+            o = _chain(cur[b]) if b in cur else []
+            n = _chain(nxt[b]) if b in nxt else []
             if o != n:
-                if o is not None:
-                    tags.append((o, v, "o"))
-                if n is not None:
-                    tags.append((n, v, "n"))
+                o_set, n_set = set(o), set(n)
+                tags.extend((d, v, "b") for d in sorted(o_set & n_set))
+                tags.extend((d, v, "o") for d in sorted(o_set - n_set))
+                tags.extend((d, v, "n") for d in sorted(n_set - o_set))
         cur = dict(nxt)
     return tags
 
@@ -101,17 +119,6 @@ def read_changelog(
     if to_version < from_version:
         raise ValueError(f"to_version {to_version} < from_version {from_version}")
     manifests = {v: table.manifest_at(v) for v in range(from_version, to_version + 1)}
-    chained = sorted({
-        b for m in manifests.values()
-        for b, entry in m["files"].items() if not isinstance(entry, str)
-    })
-    if chained:
-        raise NotImplementedError(
-            "read_changelog over merge-on-read delta commits is not "
-            f"supported yet (buckets {chained[:8]} are delta chains in the "
-            "interval); run maintain.compact to fold chains, then read the "
-            "changelog across the compacted snapshots"
-        )
     tags = _dir_tags(manifests, from_version, to_version)
     if not tags:
         schema_src = table.read().select(
@@ -120,9 +127,14 @@ def read_changelog(
         )
         return schema_src.where(F.lit(False))
     spark = table.spark
-    # one scan over every distinct dir, pruned to the diff columns
+    # one scan over every distinct dir, pruned to the diff columns; the
+    # tombstone marker exists only in delta files and reads null (= live)
+    # from CoW bases — parquet by-name resolution
     wanted = set(KEY_COLS) | set(CHANGE_COLS)
-    schema = T.StructType([f for f in table.base_fields if f.name in wanted])
+    schema = T.StructType(
+        [f for f in table.base_fields if f.name in wanted]
+        + [T.StructField(TOMBSTONE_COL, T.BooleanType())]
+    )
     dirs = sorted({t[0] for t in tags})
     scan = spark.read.schema(schema).parquet(
         *[os.path.join(table.root, d) for d in dirs]
@@ -133,34 +145,53 @@ def read_changelog(
     tagged = scan.withColumn(
         "_dirkey", F.regexp_extract(F.input_file_name(), _DIR_RE, 1)
     ).join(F.broadcast(tags_df), "_dirkey")
-    # slim verdict: only longs cross the aggregation buffer
-    side, lsn = F.col("_side"), F.col("_last_lsn")
+    # slim verdict: only longs cross the aggregation buffer. Each side's
+    # state is its max-lsn row, with the winner's tombstone riding the low
+    # bit of a packed long (lsn < 2^61 is enforced at ingest, so lsn*2+1
+    # cannot overflow): an odd winner means "key absent on this side" —
+    # the merge-on-read drop rule, evaluated without a second pass.
+    side = F.col("_side")
+    packed = (
+        F.col("_last_lsn") * 2
+        + F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).cast("long")
+    )
     agg = (
-        tagged.select(*KEY_COLS, "_commit_version", "_side", "_last_lsn")
+        tagged.select(*KEY_COLS, "_commit_version", "_side", packed.alias("_p"))
         .groupBy(*KEY_COLS, "_commit_version")
         .agg(
-            F.max(F.when(side == "o", lsn)).alias("_o_lsn"),
-            F.max(F.when(side == "n", lsn)).alias("_n_lsn"),
+            F.max(F.when(side.isin("o", "b"), F.col("_p"))).alias("_o"),
+            F.max(F.when(side.isin("n", "b"), F.col("_p"))).alias("_n"),
         )
     )
-    o_lsn, n_lsn = F.col("_o_lsn"), F.col("_n_lsn")
+    o, n = F.col("_o"), F.col("_n")
+    o_live = o.isNotNull() & (o % 2 == 0)
+    n_live = n.isNotNull() & (n % 2 == 0)
     change = (
-        F.when(o_lsn.isNull(), "insert")
-        .when(n_lsn.isNull(), "delete")
-        .when(n_lsn != o_lsn, "update")
+        F.when(~o_live & n_live, "insert")
+        .when(o_live & ~n_live, "delete")
+        .when(o_live & n_live & (n != o), "update")
     )
     decided = (
         agg.withColumn("_change_type", change)
         .where(F.col("_change_type").isNotNull())
-        # post-image payload; pre-image for deletes (the only side that exists)
+        # post-image payload; pre-image for deletes (the only live side).
+        # The image winner is live by construction, so its packed value
+        # shifts right to the exact row lsn — the join-back key.
         .withColumn(
             "_img_side",
             F.when(F.col("_change_type") == "delete", F.lit("o")).otherwise(F.lit("n")),
         )
-        .select(*KEY_COLS, "_commit_version", "_change_type", "_img_side")
+        .withColumn(
+            "_img_lsn",
+            F.shiftright(F.when(F.col("_img_side") == "o", o).otherwise(n), 1),
+        )
+        .select(*KEY_COLS, "_commit_version", "_change_type", "_img_side", "_img_lsn")
     )
+    in_img_side = F.when(
+        F.col("_img_side") == "o", F.col("_side").isin("o", "b")
+    ).otherwise(F.col("_side").isin("n", "b"))
     return (
         tagged.join(decided, [*KEY_COLS, "_commit_version"])
-        .where(F.col("_side") == F.col("_img_side"))
+        .where(in_img_side & (F.col("_last_lsn") == F.col("_img_lsn")))
         .select(*KEY_COLS, *CHANGE_COLS, "_change_type", "_commit_version")
     )
