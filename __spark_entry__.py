@@ -59,6 +59,15 @@ _LANGS_SQL = {
 
 def oracle_sql() -> dict[str, str]:
     h = {k: _stop("text", v) for k, v in _LANGS_SQL.items()}
+    out = _oracle_sql_literal(h)
+    # the change feed is write-mode-invariant by contract: the feed read
+    # through uncompacted merge-on-read chains must satisfy the exact
+    # same classification SQL as the CoW feed
+    out["changelog_feed_delta"] = out["changelog_feed"]
+    return out
+
+
+def _oracle_sql_literal(h) -> dict[str, str]:
     return {
         "window_dedup": """
             SELECT user_id, event_id AS last_event_id, event_type AS last_type,

@@ -162,6 +162,22 @@ def q_cdc_replay_snapshot(spark, sf_dir) -> DataFrame:
     )
 
 
+def _shared_replay_delta(spark, sf_dir):
+    """Session-cached merge-on-read replay of the sf event log
+    (batch_size matches `_shared_replay` so commit versions align with
+    the CoW replay — the two feeds must then be value-identical)."""
+    from .cdc.runner import replay
+
+    key = (id(spark.sparkContext), sf_dir, "delta")
+    t = _REPLAY_CACHE.get(key)
+    if t is None:
+        t = _session_table(spark)
+        replay(spark, _events_as_cdc_log(spark, sf_dir), t,
+               batch_size=4000, write_mode="delta")
+        _REPLAY_CACHE[key] = t
+    return t
+
+
 def q_cdc_replay_delta(spark, sf_dir) -> DataFrame:
     """The same full-engine replay as `cdc_replay_snapshot` but through
     the merge-on-read write path (`write_mode="delta"`): each batch
@@ -172,15 +188,8 @@ def q_cdc_replay_delta(spark, sf_dir) -> DataFrame:
     (lake._read_merged) itself, not a folded copy. Oracle: identical
     last-writer-wins SQL — delta and CoW replay must be value-identical."""
     _prep(spark)
-    from .cdc.runner import replay
 
-    key = (id(spark.sparkContext), sf_dir, "delta")
-    t = _REPLAY_CACHE.get(key)
-    if t is None:
-        t = _session_table(spark)
-        replay(spark, _events_as_cdc_log(spark, sf_dir), t,
-               batch_size=4000, write_mode="delta")
-        _REPLAY_CACHE[key] = t
+    t = _shared_replay_delta(spark, sf_dir)
     return t.read().select(
         "repo", "path", "commit", "content", "content_sha256",
         (F.col("_last_lsn") - 1).alias("last_lsn"),
@@ -228,6 +237,29 @@ def q_changelog_feed(spark, sf_dir) -> DataFrame:
     from .cdc.changelog import read_changelog
 
     t = _shared_replay(spark, sf_dir)
+    return read_changelog(t, from_version=0).select(
+        "repo", "path",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+        "content_sha256",
+        (F.col("_last_lsn") - 1).alias("last_lsn"),
+    )
+
+
+def q_changelog_feed_delta(spark, sf_dir) -> DataFrame:
+    """CDF over MERGE-ON-READ history: the same change feed as
+    `changelog_feed`, but reconstructed through uncompacted delta
+    chains (changelog.py chain-aware dir-SET diffs: the untouched chain
+    prefix serves both sides of the verdict via the `b` role, and the
+    winner's tombstone rides the packed lsn's low bit, so a tombstoned
+    winner classifies as absence and delete pre-images come from the
+    chain prefix). Oracle: the identical per-(batch,key) classification
+    SQL as `changelog_feed` — the feed must not depend on the table's
+    write mode."""
+    _prep(spark)
+    from .cdc.changelog import read_changelog
+
+    t = _shared_replay_delta(spark, sf_dir)
     return read_changelog(t, from_version=0).select(
         "repo", "path",
         F.col("_change_type").alias("change_type"),
@@ -920,6 +952,7 @@ QUERIES = {
     "predicate_delete": q_predicate_delete,
     "time_travel_incremental": q_time_travel_incremental,
     "changelog_feed": q_changelog_feed,
+    "changelog_feed_delta": q_changelog_feed_delta,
     "mirror_sync": q_mirror_sync,
     "scd2_history": q_scd2_history,
     "asof_join": q_asof_join,
