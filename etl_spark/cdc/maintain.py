@@ -48,10 +48,21 @@ def chained_buckets(table: SnapshotTable) -> list[int]:
     )
 
 
+def chain_lengths(table: SnapshotTable) -> dict[int, int]:
+    """Per-bucket dir count of the current manifest entry: 1 for a plain
+    CoW bucket, the chain length for a merge-on-read bucket — the
+    read-amplification bound a compaction policy budgets against."""
+    return {
+        int(b): 1 if isinstance(e, str) else len(e)
+        for b, e in table.manifest()["files"].items()
+    }
+
+
 def compact(
     spark: SparkSession,
     table: SnapshotTable,
     max_files_per_bucket: int = 1,
+    max_chain_len: int = 0,
 ) -> dict:
     """Rewrite every bucket holding more than ``max_files_per_bucket``
     parquet files into one file per bucket; untouched buckets carry
@@ -63,6 +74,15 @@ def compact(
     input splits, so a bucket rewritten across many batches accumulates
     one file per carrying task — at micro-batch cadence the per-bucket
     file count (and with it scan/open overhead) grows without bound.
+
+    ``max_chain_len`` is the merge-on-read compaction policy (the Hudi
+    max-delta-commits analog): a chained bucket folds only when its
+    chain exceeds the threshold. The default 0 folds every chain — a
+    full compaction returning the table to pure CoW. A positive value
+    bounds per-bucket read amplification while skipping rewrites of
+    short chains, which is exactly skew-adaptive at scale: hot buckets
+    (long chains) compact often, cold buckets are never rewritten at
+    all — the write-amplification profile CoW cannot offer.
     """
     t0 = time.time()
     manifest = table.manifest()
@@ -71,10 +91,13 @@ def compact(
             b for b, n in bucket_file_stats(table).items()
             if n > max_files_per_bucket
         )
-        # delta chains always fold: compaction is what returns a
-        # merge-on-read bucket to the plain-scan fast path and drops
-        # superseded rows + tombstones from disk
-        | set(chained_buckets(table))
+        # compaction is what returns a merge-on-read bucket to the
+        # plain-scan fast path and drops superseded rows + tombstones
+        # from disk; chains at or under the policy threshold ride
+        | set(
+            int(b) for b, e in manifest["files"].items()
+            if not isinstance(e, str) and len(e) > max_chain_len
+        )
     )
     metrics: dict = {"op": "compact", "buckets_touched": len(touched)}
     if not touched:

@@ -69,6 +69,7 @@ def replay(
     applier=None,
     write_mode: str = "cow",
     compact_every: int | None = None,
+    compact_chain_len: int | None = None,
 ) -> list[BatchMetrics]:
     """Replay the whole log (or the next ``max_batches``) into the table.
 
@@ -80,6 +81,10 @@ def replay(
     bounding read-side reconstruction cost; compaction changes neither
     the checkpoint nor the row set, so it composes with the pipelined
     prepare (which depends only on the log and the LSN cursor).
+    ``compact_chain_len=K`` is the per-bucket alternative (Hudi
+    max-delta-commits): after each batch, fold ONLY buckets whose chain
+    exceeds K dirs — hot buckets compact often, cold buckets never get
+    rewritten, and read amplification stays bounded at K everywhere.
 
     Pipelined: batch windows are fixed LSN ranges, so the checkpoint
     after batch b is known (= lsn_to(b)) before b commits — the next
@@ -182,6 +187,18 @@ def replay(
                 cm = compact(spark, table)
                 if log and cm.get("buckets_touched"):
                     print(json.dumps(cm), file=sys.stderr)
+            elif compact_chain_len is not None:
+                from .maintain import chain_lengths, compact
+
+                if any(n > compact_chain_len
+                       for n in chain_lengths(table).values()):
+                    # chain criterion only: a huge file threshold keeps
+                    # the file-count trigger out of this policy's way
+                    cm = compact(spark, table,
+                                 max_files_per_bucket=1 << 30,
+                                 max_chain_len=compact_chain_len)
+                    if log and cm.get("buckets_touched"):
+                        print(json.dumps(cm), file=sys.stderr)
             cursor = table.last_lsn()
             prep = nxt.result() if nxt is not None else None
             if max_batches and len(out) >= max_batches:
@@ -224,6 +241,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--compact-every", type=int, default=None,
                     help="fold merge-on-read delta chains back into plain "
                          "bucket dirs every N batches (and once at the end)")
+    ap.add_argument("--compact-chain-len", type=int, default=None,
+                    help="per-bucket compaction policy: after each batch, "
+                         "fold only buckets whose delta chain exceeds N dirs "
+                         "(hot buckets compact often, cold ones never)")
     ap.add_argument("--no-pipeline", action="store_true",
                     help="disable the prepare(b+1)-under-write(b) pipeline "
                          "(debugging; the default overlaps batches)")
@@ -287,6 +308,7 @@ def main(argv: list[str] | None = None) -> None:
         pipelined=not args.no_pipeline,
         write_mode=args.write_mode,
         compact_every=args.compact_every,
+        compact_chain_len=args.compact_chain_len,
     )
     secs = _time.time() - t0
     total = sum(bm.events_seen for bm in metrics)

@@ -322,3 +322,24 @@ def test_replicate_sync_from_delta_source(spark, log, tmp_path):
     }
     assert got == want
     assert sync(spark, src, mirror) == []  # caught up: no-op
+
+
+def test_chain_length_compaction_policy(spark, log, cow, tmp_path):
+    """compact_chain_len=K (the Hudi max-delta-commits analog): any
+    chain exceeding K dirs is folded right after the batch that grew it
+    (so read amplification is bounded by K+1 at every point), only
+    over-threshold buckets are rewritten, and final state matches CoW."""
+    from etl_spark.cdc.maintain import chain_lengths
+
+    t = SnapshotTable(spark, str(tmp_path / "dp"), n_buckets=8)
+    replay(spark, log, t, batch_size=500, write_mode="delta",
+           compact_chain_len=3)
+    lens = chain_lengths(t)
+    assert max(lens.values()) <= 3, lens
+    # the policy really let short chains ride (this is what distinguishes
+    # it from compact_every's fold-everything): with 8 batches over 8
+    # buckets some bucket must still be chained at the end
+    assert chained_buckets(t), lens
+    assert _state(t) == _state(cow)
+    res = audit_table(spark, t)
+    assert res["ok"], res
