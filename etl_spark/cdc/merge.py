@@ -694,6 +694,7 @@ def apply_batch(
     use_arrow_udfs: bool = False,
     use_observations: bool = True,
     policies: MergePolicies = NO_POLICIES,
+    write_mode: str = "cow",
 ) -> BatchMetrics:
     """Apply one LSN-bounded micro-batch exactly-once; returns metrics.
 
@@ -711,6 +712,7 @@ def apply_batch(
         spark, table, prep,
         salted_dedup=salted_dedup, use_arrow_udfs=use_arrow_udfs,
         use_observations=use_observations, policies=policies,
+        write_mode=write_mode,
     )
 
 

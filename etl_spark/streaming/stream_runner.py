@@ -63,6 +63,8 @@ def stream_replay(
     use_arrow_udfs: bool = False,
     collected_metrics: list[BatchMetrics] | None = None,
     policies=None,
+    write_mode: str = "cow",
+    compact_chain_len: int | None = None,
 ):
     """Tail ``events_dir`` as a file stream and MERGE each micro-batch.
 
@@ -70,6 +72,14 @@ def stream_replay(
     stops (the batch-oriented test/replay mode); False runs until
     ``query.stop()`` with the default trigger. Returns the streaming
     query handle (call ``awaitTermination()``).
+
+    ``write_mode="delta"`` + ``compact_chain_len=K`` is the unbounded
+    10^10-event shape: winners-only merge-on-read commits per
+    micro-batch (O(batch) write cost forever) with per-bucket chain
+    folding whenever a bucket exceeds its delta-commit budget.
+    Compaction inside the sink is safe under crash-redelivery: it
+    changes neither the LSN checkpoint nor the row set, so a re-run
+    epoch still lands as the recorded idempotent no-op.
     """
     reader = (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -124,7 +134,15 @@ def stream_replay(
             # foreachBatch sub-execution; metrics are recomputed from the
             # slim winners + a pruned target scan instead (merge.py)
             use_observations=False,
+            write_mode=write_mode,
         )
+        if compact_chain_len is not None:
+            from ..cdc.maintain import chain_lengths, compact
+
+            if any(n > compact_chain_len
+                   for n in chain_lengths(table).values()):
+                compact(spark, table, max_files_per_bucket=1 << 30,
+                        max_chain_len=compact_chain_len)
         with open(epoch_path, "w") as f:
             f.write(str(epoch_id))
         if collected_metrics is not None:

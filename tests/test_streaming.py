@@ -247,3 +247,40 @@ def test_stream_inherits_quarantine(spark, tmp_path):
     assert sum(m.quarantined for m in metrics) == 2
     got = {r["lsn"]: r["_reason"] for r in table.read_quarantine().collect()}
     assert got == {1001: "bad_op", 1002: "null_key"}
+
+
+def test_stream_replay_delta_mode_with_chain_budget(spark, tmp_path):
+    """The unbounded 10^10-event shape: streaming tail -> winners-only
+    merge-on-read commits + per-bucket chain folding inside the sink.
+    Final state matches the oracle, chains respect the budget, and
+    compaction inside foreachBatch does not break exactly-once."""
+    from etl_spark.cdc.maintain import chain_lengths
+
+    cfg = GenConfig(n_events=3000, n_keys=150, seed=17, dup_rate=0.1)
+    log_dir = str(tmp_path / "log")
+    write_events(spark, cfg, log_dir, n_files=6)
+    _order_mtimes_by_lsn(log_dir)
+    state, dyn = oracle_reduce(generate_events(spark, cfg).collect())
+
+    table = SnapshotTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    q = stream_replay(
+        spark, log_dir, table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        write_mode="delta",
+        compact_chain_len=2,
+    )
+    q.awaitTermination(120)
+    assert table.version() >= 1
+    assert max(chain_lengths(table).values()) <= 2
+    assert_table_matches_oracle(table.read().collect(), state, dyn)
+    # redelivery after restart stays a no-op on a chained table
+    q2 = stream_replay(
+        spark, log_dir, table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        write_mode="delta",
+        compact_chain_len=2,
+    )
+    q2.awaitTermination(120)
+    assert table.last_lsn() == 3000
+    assert_table_matches_oracle(table.read().collect(), state, dyn)
