@@ -800,18 +800,27 @@ def _rejected_md_section(res: dict) -> str:
         return ""
     rows = []
     for r in rej:
-        meds = ", ".join(
-            f"local[{c}] {v:,.0f}" for c, v in sorted(
-                ((int(k), v) for k, v in r["median_eps"].items()))
-        )
-        effs = "; ".join(
-            f"{p['small_cores']}->{p['big_cores']} {p['efficiency']}"
-            for p in r["pairs"])
-        rows.append(
-            f"- **{r['session']}** ({r['repeats']} repeats): medians {meds}; "
-            f"efficiency {effs}; state_match={r['state_match']}.\n"
-            f"  Rejected: {r['reason']}."
-        )
+        if "median_eps" in r:  # full-protocol session record
+            meds = ", ".join(
+                f"local[{c}] {v:,.0f}" for c, v in sorted(
+                    ((int(k), v) for k, v in r["median_eps"].items()))
+            )
+            effs = "; ".join(
+                f"{p['small_cores']}->{p['big_cores']} {p['efficiency']}"
+                for p in r["pairs"])
+            rows.append(
+                f"- **{r['session']}** ({r['repeats']} repeats): medians {meds}; "
+                f"efficiency {effs}; state_match={r['state_match']}.\n"
+                f"  Rejected: {r['reason']}."
+            )
+        else:  # single-shot pair abandoned mid-protocol
+            runs = "; ".join(
+                f"{x['mode']} local[{x['cores']}] {x['eps']:,.0f} eps "
+                f"(probe {x['probe_mops8']})" for x in r.get("runs", []))
+            head = r.get("session") or r.get("date", "session")
+            rows.append(
+                f"- **{head}**: {runs}.\n  Rejected: {r['reason']}."
+            )
     return ("## Rejected local-protocol sessions (recorded, not adopted)\n\n"
             + "\n".join(rows) + "\n")
 
