@@ -343,3 +343,31 @@ def test_chain_length_compaction_policy(spark, log, cow, tmp_path):
     assert _state(t) == _state(cow)
     res = audit_table(spark, t)
     assert res["ok"], res
+
+
+def test_delete_where_on_chained_table(spark, log, cow, tmp_path):
+    """Predicate delete composes with merge-on-read: the probe and
+    rewrite read through chains, matched buckets collapse to plain CoW
+    dirs (tombstones and superseded rows gone), untouched chains ride,
+    and the resulting state equals the same delete on the CoW table."""
+    from etl_spark.cdc.delete import delete_where
+
+    t = SnapshotTable(spark, str(tmp_path / "ddw"), n_buckets=8)
+    replay(spark, log, t, batch_size=900, write_mode="delta")
+    c = SnapshotTable(spark, str(tmp_path / "cdw"), n_buckets=8)
+    replay(spark, log, c, batch_size=900)
+    # cutoff high enough that some keys' last write falls below it
+    # (every key averages ~22 events over lsn 1..4000, so almost no
+    # key's WINNER sits in the lower half)
+    pred = "_last_lsn <= 3900"
+    mt = delete_where(spark, t, pred)
+    mc = delete_where(spark, c, pred)
+    assert mt["deleted"] == mc["deleted"] > 0
+    assert _state(t) == _state(c)
+    # every matched bucket was rewritten to a plain dir — its chain (and
+    # tombstones) collapsed; only buckets the predicate missed may still
+    # be chained
+    chained_after = set(chained_buckets(t))
+    assert len(chained_after) <= 8 - mt["buckets_touched"]
+    res = audit_table(spark, t)
+    assert res["ok"], res
