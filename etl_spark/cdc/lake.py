@@ -192,22 +192,32 @@ class SnapshotTable:
 
     def _split_entries(
         self, m: dict, buckets: list[int] | None = None
-    ) -> tuple[list[str], list[str]]:
-        """(plain base dirs, chained dirs) for the bucket selection. A
-        bucket whose entry is a list — even of length 1 — goes to the
-        chained side: its dirs may hold tombstones and per-key history,
-        so it must be read through the merge path."""
+    ) -> tuple[list[str], list[str], list[str]]:
+        """(plain CoW dirs, chain HEAD dirs, chain TAIL dirs) for the
+        bucket selection. A bucket whose entry is a list — even of
+        length 1 — goes to the chain side: its dirs may hold tombstones
+        and per-key history, so it must be read through the merge path.
+        The head/tail split is what lets the merged read keep the bulk
+        of the base out of any shuffle (see ``_read_merged``); keys are
+        hash-routed to exactly one bucket, so tail keys of one bucket
+        can never contest another bucket's head rows — the flattened
+        lists stay correct across buckets."""
         files = m["files"]
         keys = [str(b) for b in buckets] if buckets is not None else list(files)
         base: list[str] = []
-        chained: list[str] = []
+        heads: list[str] = []
+        tails: list[str] = []
         for k in keys:
             if k not in files:
                 continue
             entry = files[k]
             dirs = [os.path.join(self.root, d) for d in _chain(entry)]
-            (base if isinstance(entry, str) else chained).extend(dirs)
-        return base, chained
+            if isinstance(entry, str):
+                base.extend(dirs)
+            else:
+                heads.append(dirs[0])
+                tails.extend(dirs[1:])
+        return base, heads, tails
 
     def manifest_at(self, version: int) -> dict:
         """The committed manifest of an arbitrary snapshot version.
@@ -251,8 +261,8 @@ class SnapshotTable:
             manifest = self.manifest_at(version)
         m = manifest or self.manifest()
         schema = self.table_schema([tuple(c) for c in m["dyn_schema"]])
-        base_dirs, chain_dirs = self._split_entries(m, buckets)
-        if not base_dirs and not chain_dirs:
+        base_dirs, head_dirs, tail_dirs = self._split_entries(m, buckets)
+        if not base_dirs and not head_dirs:
             return self.spark.createDataFrame([], schema)
         parts: list[DataFrame] = []
         if base_dirs:
@@ -260,37 +270,52 @@ class SnapshotTable:
             # current row per key — a plain scan, no merge work, the plan
             # shape every downstream (pushdown, pruning) relies on
             parts.append(self.spark.read.schema(schema).parquet(*base_dirs))
-        if chain_dirs:
-            parts.append(self._read_merged(chain_dirs, schema))
+        if head_dirs:
+            parts.append(self._read_merged(head_dirs, tail_dirs, schema))
         return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
-    def _read_merged(self, dirs: list[str], schema: T.StructType) -> DataFrame:
+    def _read_merged(
+        self, heads: list[str], tails: list[str], schema: T.StructType
+    ) -> DataFrame:
         """Merge-on-read reconstruction over delta chains: per key the
-        row with max ``_last_lsn`` wins (lsns strictly increase per key
-        per write, so the winner is unique), then tombstone winners drop.
+        row with max ``_last_lsn`` wins, then tombstone winners drop.
 
-        Plan shape at scale: the winner probe is a slim HashAggregate —
-        only (key, long) crosses the shuffle — and the join-back on
-        (key, _last_lsn) moves each wide row once, exactly the slim/semi
-        shape the merge itself uses (never max_by over a wide struct,
-        which plans SortAggregate). The join is on key AND lsn because
-        ``merge_into`` stamps one synthetic lsn across a whole source
-        batch — an lsn-only semi join would resurrect another key's
-        stale row that happens to share the winner's lsn. Cost scales
-        with the CHAINED buckets' rows only; compacted buckets never
-        enter this subplan.
+        Per-key LSNs are strictly monotone across commits (events at or
+        below the checkpoint drop as late; ``merge_into`` stamps
+        checkpoint+1), so any key a chain TAIL dir mentions has its
+        current row IN the tail — a head (base) row can win only when
+        the tail never touches its key. The plan exploits that: the
+        head's only merge work is an ANTI join against the tail's slim
+        distinct-key set (the recent update working set — tiny next to
+        the base, so AQE turns it into a broadcast join at runtime), and
+        uncontested wide base rows never enter a shuffle or aggregation.
+        Winner resolution runs over TAIL rows only: a slim (key, long)
+        HashAggregate + a (key, _last_lsn) semi join-back — the same
+        slim/semi shape the merge itself uses (never max_by over a wide
+        struct, which plans SortAggregate). The join-back is on key AND
+        lsn because ``merge_into`` stamps one synthetic lsn across a
+        whole source batch — an lsn-only semi join would resurrect
+        another key's stale row sharing the winner's lsn. Cost scales
+        with tail rows for the merge and one base scan for the rest;
+        compacted buckets never enter this subplan at all.
         """
         sch = T.StructType(
             list(schema.fields) + [T.StructField(TOMBSTONE_COL, T.BooleanType())]
         )
-        raw = self.spark.read.schema(sch).parquet(*dirs)
-        winners = raw.groupBy(*self.key_cols).agg(
+        live = ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        # a head may itself hold tombstones (a bucket born in delta mode)
+        head = self.spark.read.schema(sch).parquet(*heads)
+        if not tails:
+            return head.where(live).drop(TOMBSTONE_COL)
+        tail = self.spark.read.schema(sch).parquet(*tails)
+        tail_keys = tail.select(*self.key_cols).distinct()
+        survivors = head.join(tail_keys, list(self.key_cols), "anti")
+        winners = tail.groupBy(*self.key_cols).agg(
             F.max("_last_lsn").alias("_last_lsn")
         )
+        cur = tail.join(winners, [*self.key_cols, "_last_lsn"], "semi")
         return (
-            raw.join(winners, [*self.key_cols, "_last_lsn"], "semi")
-            .where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
-            .drop(TOMBSTONE_COL)
+            survivors.unionByName(cur).where(live).drop(TOMBSTONE_COL)
         )
 
     def lookup(self, keys: list[tuple[str, str]]) -> DataFrame:

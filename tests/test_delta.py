@@ -371,3 +371,19 @@ def test_delete_where_on_chained_table(spark, log, cow, tmp_path):
     assert len(chained_after) <= 8 - mt["buckets_touched"]
     res = audit_table(spark, t)
     assert res["ok"], res
+
+
+def test_merged_read_keeps_base_out_of_shuffle(spark, log, tmp_path):
+    """The chained-read plan: uncontested base rows leave via an ANTI
+    join against the tail's slim key set (broadcast at runtime by AQE),
+    and only TAIL rows feed the winner aggregate — the base never
+    shuffles on read."""
+    t = SnapshotTable(spark, str(tmp_path / "dpl"), n_buckets=4)
+    replay(spark, log, t, batch_size=900, write_mode="delta")
+    assert chained_buckets(t)
+    df = t.read()
+    df.collect()  # let AQE finalize join strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortAggregate" not in plan, plan
