@@ -268,3 +268,41 @@ def test_schema_evolution_replay_matches_reducer(spark, tmp_path_factory, log):
         g = got[key]
         for c, v in w.items():
             assert g[c] == v, f"{key}.{c}: engine={g[c]!r} oracle={v!r}"
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(log=event_logs(), policy=st.sampled_from(
+    [None, ("every", 1), ("every", 2), ("chain", 1), ("chain", 2)]))
+def test_delta_replay_matches_reducer_any_compaction(
+    spark, tmp_path_factory, log, policy
+):
+    """Merge-on-read replay under RANDOM logs (dup deliveries included)
+    and RANDOM compaction policies is indistinguishable from the
+    independent sequential reducer — the mode's whole contract, explored
+    beyond the hand-picked cases in test_delta."""
+    events, batch_size = log
+    n_real = max(e["lsn"] for e in events)
+    batch_size = max(batch_size, math.ceil(n_real / 4))
+    df = spark.createDataFrame(events, EVENT_SCHEMA)
+    want = _mini_reduce(events)
+
+    tmp = tmp_path_factory.mktemp("prop_delta")
+    table = SnapshotTable(spark, str(tmp / "lake"), n_buckets=4)
+    kw = {}
+    if policy is not None:
+        kw = ({"compact_every": policy[1]} if policy[0] == "every"
+              else {"compact_chain_len": policy[1]})
+    replay(spark, df, table, batch_size=batch_size, write_mode="delta", **kw)
+
+    got = {(r["repo"], r["path"]): r.asDict() for r in table.read().collect()}
+    assert set(got) == set(want)
+    for key, w in want.items():
+        g = got[key]
+        for c in ("commit", "lang", "content", "content_sha256", "_last_lsn"):
+            assert g[c] == w[c], f"{key}.{c}: engine={g[c]!r} oracle={w[c]!r}"
