@@ -470,6 +470,49 @@ class SnapshotTable:
         }
         return self._publish(version, manifest, metrics)
 
+    def rollback(self, to_version: int) -> dict:
+        """Restore the table to an earlier committed snapshot as a NEW
+        commit — the Iceberg ``rollback_to_snapshot`` analog and the
+        bad-batch recovery runbook op (reference ancestor: re-running a
+        connector window after an upstream correction).
+
+        Metadata-only: the new manifest reuses the target snapshot's
+        data dirs (including delta chains) BY REFERENCE — no data is
+        read or written, so a 100 TB table rolls back in one atomic
+        rename. ``last_lsn`` resets to the target's, so replaying the
+        (corrected) log re-applies everything after the restored point;
+        rollback-then-re-replay of an unchanged log reproduces the
+        pre-rollback state exactly (tested). History is preserved, not
+        rewritten: the bad versions stay time-travelable until retention
+        expires them, and the changelog across the rollback commit is
+        the exact UNDO feed — ``replicate.sync`` mirrors converge to the
+        restored state with no special casing.
+        """
+        cur = self.version()
+        if not 1 <= to_version < cur:
+            raise ValueError(
+                f"rollback target must be an earlier committed version "
+                f"(got {to_version}, current is {cur})"
+            )
+        tgt = self.manifest_at(to_version)  # validates data dirs survive
+        version = cur + 1
+        metrics = {
+            "op": "rollback",
+            "rolled_back_from": cur,
+            "rolled_back_to": to_version,
+        }
+        manifest = {
+            "version": version,
+            "parent": cur,
+            "last_lsn": int(tgt["last_lsn"]),
+            "dyn_schema": [list(c) for c in tgt["dyn_schema"]],
+            "files": dict(tgt["files"]),
+            "n_buckets": self.n_buckets,
+            "committed_at": time.time(),
+            "metrics": metrics,
+        }
+        return self._publish(version, manifest, metrics)
+
     def _publish(self, version: int, manifest: dict, metrics: dict) -> dict:
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
         # exclusive: a concurrent writer that prepared against the same

@@ -235,6 +235,9 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--min-age-secs", type=float, default=3600.0)
     r = sub.add_parser("rebucket", help="partition-spec evolution")
     r.add_argument("--n-buckets", type=int, required=True)
+    rb = sub.add_parser("rollback", help="restore an earlier snapshot "
+                        "as a new commit (metadata-only, atomic)")
+    rb.add_argument("--to-version", type=int, required=True)
     args = ap.parse_args(argv)
 
     spark = get_spark("etl_spark-maintain", master=args.master)
@@ -244,6 +247,9 @@ def main(argv: list[str] | None = None) -> None:
     elif args.op == "vacuum":
         res = {"op": "vacuum",
                "removed": remove_orphans(table, min_age_secs=args.min_age_secs)}
+    elif args.op == "rollback":
+        res = table.rollback(args.to_version)["metrics"]
+        res["version"] = res["rolled_back_from"] + 1
     else:
         res = rebucket(spark, table, new_n_buckets=args.n_buckets)
     print(json.dumps(res))

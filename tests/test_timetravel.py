@@ -100,3 +100,66 @@ def test_lookup_reads_only_key_buckets(spark, versioned):
     assert table.lookup([]).count() == 0
     many = live[:70] + [("ghost", f"g{i}") for i in range(5)]
     assert table.lookup(many).count() == 70
+
+
+def test_rollback_restores_and_rereplay_converges(spark, tmp_path):
+    """lake.rollback: metadata-only restore as a NEW commit. The
+    restored read equals the target snapshot, last_lsn resets so
+    re-replaying the unchanged log reproduces the pre-rollback state
+    exactly, and history stays time-travelable."""
+    from etl_spark.cdc.gen import GenConfig, generate_events
+    from etl_spark.cdc.runner import replay
+
+    log = generate_events(
+        spark, GenConfig(n_events=3000, n_keys=120, seed=41)
+    ).cache()
+    t = SnapshotTable(spark, str(tmp_path / "rb"), n_buckets=4)
+    replay(spark, log, t, batch_size=1000)
+    assert t.version() == 3
+
+    def state(version=None):
+        return {
+            (r["repo"], r["path"]): (r["content_sha256"], r["_last_lsn"])
+            for r in t.read(version=version).collect()
+        }
+
+    final = state()
+    at_v1 = state(version=1)
+    m = t.rollback(1)
+    assert m["version"] == 4 and m["last_lsn"] == 1000
+    assert state() == at_v1            # restored by reference
+    assert state(version=3) == final   # history not rewritten
+    # the cursor reset means replaying the same log re-applies 1001..3000
+    replay(spark, log, t, batch_size=1000)
+    assert t.version() == 6
+    assert state() == final            # rollback + re-replay = original
+    log.unpersist()
+
+
+def test_rollback_changelog_is_undo_and_mirror_converges(spark, tmp_path):
+    """The change feed across a rollback commit is the exact undo of the
+    rolled-back interval, so a replicate.sync mirror lands on the
+    restored state with no special casing; delta-mode sources included."""
+    from etl_spark.cdc.gen import GenConfig, generate_events
+    from etl_spark.cdc.replicate import sync
+    from etl_spark.cdc.runner import replay
+
+    log = generate_events(
+        spark, GenConfig(n_events=2000, n_keys=90, seed=43)
+    ).cache()
+    src = SnapshotTable(spark, str(tmp_path / "src"), n_buckets=4)
+    replay(spark, log, src, batch_size=500, write_mode="delta")
+    mirror = SnapshotTable(spark, str(tmp_path / "m"), n_buckets=4)
+    sync(spark, src, mirror)
+
+    def state(t):
+        return {
+            (r["repo"], r["path"]): r["content_sha256"]
+            for r in t.read().collect()
+        }
+
+    assert state(mirror) == state(src)
+    src.rollback(2)
+    sync(spark, src, mirror)
+    assert state(mirror) == state(src)  # mirror followed the undo feed
+    log.unpersist()
