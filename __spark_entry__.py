@@ -154,6 +154,29 @@ def _oracle_sql_literal(h) -> dict[str, str]:
                    lsn AS last_lsn
             FROM last WHERE rn = 1 AND op <> 'D' AND lsn > 5000
         """,
+        # rollback restores snapshot v2 = the state after the first two
+        # 4000-event batches: recompute last-writer-wins over ONLY that
+        # log prefix (a key updated later but also present early must
+        # reappear with its EARLY row — filtering full-log winners would
+        # lose it)
+        "rollback_restore": """
+            WITH log AS (
+              SELECT event_id AS lsn,
+                     CASE WHEN event_type = 'error' THEN 'D'
+                          WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+                     'u' || CAST(user_id % 50 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     md5(CAST(event_id AS VARCHAR)) AS commit,
+                     CASE WHEN event_type <> 'error' THEN props END AS content
+              FROM events
+              WHERE event_id < 8000),
+            last AS (
+              SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+              FROM log)
+            SELECT repo, path, commit, sha256(content) AS content_sha256,
+                   lsn AS last_lsn
+            FROM last WHERE rn = 1 AND op <> 'D'
+        """,
         "changelog_feed": """
             WITH log AS (
               SELECT event_id AS lsn,

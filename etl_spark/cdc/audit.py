@@ -159,11 +159,18 @@ def audit_table(spark: SparkSession, table: SnapshotTable) -> dict:
     ok = all(
         c if isinstance(c, bool) else c.get("ok", True) for c in checks.values()
     )
+    chain_lens = [
+        len(e) for e in m["files"].values() if not isinstance(e, str)
+    ]
     return {
         "ok": ok,
         "version": v,
         "rows": int(row["n_rows"] or 0),
         "keys": int(row["n_keys"] or 0),
+        # merge-on-read observability: how much deferred compaction the
+        # table is carrying (read amplification = max_chain_len)
+        "chained_buckets": len(chain_lens),
+        "max_chain_len": max(chain_lens, default=0),
         "checks": checks,
     }
 

@@ -227,6 +227,22 @@ def q_predicate_delete(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_rollback_restore(spark, sf_dir) -> DataFrame:
+    """Snapshot rollback (lake.rollback — Iceberg rollback_to_snapshot
+    analog): replay the log, then restore snapshot version 2 as a new
+    metadata-only commit and read the table. Oracle: last-writer-wins
+    over only the first two batches (lsn <= 8000) — the restored state
+    must equal the state the table had at version 2."""
+    _prep(spark)
+
+    t = _clone_table(spark, _shared_replay(spark, sf_dir))
+    t.rollback(2)
+    return t.read().select(
+        "repo", "path", "commit", "content_sha256",
+        (F.col("_last_lsn") - 1).alias("last_lsn"),
+    )
+
+
 def q_changelog_feed(spark, sf_dir) -> DataFrame:
     """CDF: the complete change feed (insert/update/delete rows per
     commit) reconstructed from the snapshot history by bucket-scoped
@@ -953,6 +969,7 @@ QUERIES = {
     "time_travel_incremental": q_time_travel_incremental,
     "changelog_feed": q_changelog_feed,
     "changelog_feed_delta": q_changelog_feed_delta,
+    "rollback_restore": q_rollback_restore,
     "mirror_sync": q_mirror_sync,
     "scd2_history": q_scd2_history,
     "asof_join": q_asof_join,
