@@ -298,3 +298,32 @@ def test_rebucket_evolves_routing_keeps_state(spark, log, replayed):
     assert reopened.last_lsn() == ckpt + 3000
     # all rows route into the evolved bucket layout
     assert max(int(b) for b in reopened.manifest()["files"]) < 17
+
+
+def test_rollback_then_expire_and_vacuum_preserve_restored_dirs(
+    spark, log, tmp_path
+):
+    """The recovery runbook end-to-end: rollback -> expire_snapshots ->
+    vacuum. The rollback commit references OLD version dirs by
+    reference; expiring every other manifest and vacuuming must keep
+    exactly those dirs (liveness = manifest references) while the
+    rolled-back versions' unreferenced dirs are reclaimed."""
+    t = SnapshotTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    replay(spark, log, t, batch_size=700)
+    restored = {
+        (r["repo"], r["path"]): (r["content_sha256"], r["_last_lsn"])
+        for r in t.read(version=2).collect()
+    }
+    t.rollback(2)
+    expired = t.expire_snapshots(keep_last=1)
+    # retention reclaimed the rolled-back versions' unreferenced dirs...
+    assert expired
+    old = time.time() - 7200
+    data_root = os.path.join(t.root, "data")
+    for entry in os.listdir(data_root):
+        os.utime(os.path.join(data_root, entry), (old, old))
+    # ...vacuum finds nothing else to take (restored dirs are LIVE via
+    # the rollback manifest's references, not their own-version files)
+    assert remove_orphans(t, min_age_secs=3600) == []
+    # and the restored state still reads in full
+    assert _state(t) == restored
