@@ -109,6 +109,13 @@ def compact(
         .withColumn("_bucket", bucket_expr(table.n_buckets))
         # one task per bucket -> exactly one output file per bucket dir
         .repartition(len(touched), "_bucket")
+        # key-sorted layout inside each rewritten file (the Iceberg
+        # rewrite_data_files sort-strategy analog): parquet row-group
+        # min/max stats on (repo, path) become selective, so point
+        # lookups skip row groups instead of scanning the whole bucket.
+        # Compaction is the right place to pay this sort — the hot merge
+        # path never does
+        .sortWithinPartitions(*table.key_cols)
     )
     version = table.version() + 1
     out_dir = table.new_data_dir(version)
