@@ -48,6 +48,47 @@ def chained_buckets(table: SnapshotTable) -> list[int]:
     )
 
 
+def history(table: SnapshotTable, limit: int | None = None) -> list[dict]:
+    """Commit history, newest first — the Delta ``DESCRIBE HISTORY`` /
+    Iceberg snapshots-metadata analog, driver-side metadata only (no
+    Spark job, no data scan). One record per RETAINED version: the
+    commit kind (merge / delta / compact / rollback / ...), checkpoint,
+    chain footprint, and the batch metrics the commit recorded —
+    the ops view of what happened to the table and when.
+    """
+    from .lake import SnapshotExpiredError
+
+    out: list[dict] = []
+    v = table.version()
+    while v >= 1 and (limit is None or len(out) < limit):
+        try:
+            m = table.manifest_at(v)
+        except SnapshotExpiredError:
+            break  # retention horizon: older history is gone
+        metrics = m.get("metrics") or {}
+        chains = [len(e) for e in m["files"].values()
+                  if not isinstance(e, str)]
+        # maintenance/recovery commits stamp an explicit op; merge
+        # batches are told apart by which write phase they timed
+        op = metrics.get("op") or (
+            "merge-delta" if "delta_write" in metrics.get("phase_secs", {})
+            else "merge"
+        )
+        out.append({
+            "version": v,
+            "parent": m.get("parent"),
+            "committed_at": m.get("committed_at"),
+            "op": op,
+            "last_lsn": m["last_lsn"],
+            "buckets": len(m["files"]),
+            "chained_buckets": len(chains),
+            "max_chain_len": max(chains, default=0),
+            "metrics": metrics,
+        })
+        v -= 1
+    return out
+
+
 def chain_lengths(table: SnapshotTable) -> dict[int, int]:
     """Per-bucket dir count of the current manifest entry: 1 for a plain
     CoW bucket, the chain length for a merge-on-read bucket — the
@@ -245,6 +286,9 @@ def main(argv: list[str] | None = None) -> None:
     rb = sub.add_parser("rollback", help="restore an earlier snapshot "
                         "as a new commit (metadata-only, atomic)")
     rb.add_argument("--to-version", type=int, required=True)
+    hi = sub.add_parser("history", help="commit history, newest first "
+                        "(DESCRIBE HISTORY analog; one JSON line each)")
+    hi.add_argument("--limit", type=int, default=None)
     args = ap.parse_args(argv)
 
     spark = get_spark("etl_spark-maintain", master=args.master)
@@ -257,6 +301,10 @@ def main(argv: list[str] | None = None) -> None:
     elif args.op == "rollback":
         res = table.rollback(args.to_version)["metrics"]
         res["version"] = res["rolled_back_from"] + 1
+    elif args.op == "history":
+        for rec in history(table, limit=args.limit):
+            print(json.dumps(rec))
+        sys.exit(0)
     else:
         res = rebucket(spark, table, new_n_buckets=args.n_buckets)
     print(json.dumps(res))

@@ -327,3 +327,25 @@ def test_rollback_then_expire_and_vacuum_preserve_restored_dirs(
     assert remove_orphans(t, min_age_secs=3600) == []
     # and the restored state still reads in full
     assert _state(t) == restored
+
+
+def test_history_lists_commit_kinds_newest_first(spark, log, tmp_path):
+    """maintain.history (DESCRIBE HISTORY analog): metadata-only, newest
+    first, distinguishes merge / merge-delta / compact / rollback
+    commits, and stops cleanly at the retention horizon."""
+    from etl_spark.cdc.maintain import history
+
+    t = SnapshotTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    replay(spark, log, t, batch_size=1500, write_mode="delta")
+    compact(spark, t)
+    t.rollback(1)
+    h = history(t)
+    assert [r["version"] for r in h] == list(range(t.version(), 0, -1))
+    ops = {r["version"]: r["op"] for r in h}
+    assert ops[t.version()] == "rollback"
+    assert ops[t.version() - 1] == "compact"
+    assert ops[1] == "merge-delta"
+    assert history(t, limit=2) == h[:2]
+    # retention horizon: expired versions drop off the listing
+    t.expire_snapshots(keep_last=2)
+    assert [r["version"] for r in history(t)] == [t.version(), t.version() - 1]
