@@ -349,3 +349,45 @@ def test_history_lists_commit_kinds_newest_first(spark, log, tmp_path):
     # retention horizon: expired versions drop off the listing
     t.expire_snapshots(keep_last=2)
     assert [r["version"] for r in history(t)] == [t.version(), t.version() - 1]
+
+
+def test_changelog_long_delta_chain_constant_plan(spark, tmp_path):
+    """The chain-aware feed keeps a bounded-scan plan over a LONG
+    merge-on-read history: 120 delta commits onto one bucket read as a
+    constant number of parquet scans (slim n-key probe + verdict +
+    join-back), never one scan per commit — and the folded feed equals
+    the last-writer state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=2)
+    expect = {}
+    n_commits = 120
+    for v in range(1, n_commits + 1):
+        key = f"k{v % 17:02d}"
+        expect[key] = v
+        d = os.path.join(t.new_data_dir(v), "_bucket=0")
+        os.makedirs(d)
+        pq.write_table(
+            pa.table({
+                "repo": pa.array(["r"], pa.string()),
+                "path": pa.array([key], pa.string()),
+                "commit": pa.array([f"c{v}"], pa.string()),
+                "lang": pa.array(["py"], pa.string()),
+                "content": pa.array(["x"], pa.string()),
+                "content_sha256": pa.array([f"s{v}"], pa.string()),
+                "_last_lsn": pa.array([v], pa.int64()),
+                "_tombstone": pa.array([False], pa.bool_()),
+            }),
+            os.path.join(d, "part-0.parquet"),
+        )
+        t.commit_delta(v, t.new_data_dir(v), v, [], {})
+
+    feed = read_changelog(t, from_version=0)
+    plan = feed._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    scans = plan.count("Scan parquet")
+    assert 1 <= scans <= 4, plan[:2000]
+    rows = feed.collect()
+    folded = _apply_feed(rows)
+    assert {k: lsn for (_, k), (_, lsn) in folded.items()} == expect
+    assert {r["_commit_version"] for r in rows} == set(range(1, n_commits + 1))
