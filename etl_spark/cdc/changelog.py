@@ -145,38 +145,42 @@ def read_changelog(
     tagged = scan.withColumn(
         "_dirkey", F.regexp_extract(F.input_file_name(), _DIR_RE, 1)
     ).join(F.broadcast(tags_df), "_dirkey")
-    # ``b``-role rows (the untouched chain prefix of an append commit)
-    # matter only for keys that commit's appended dir actually touched —
-    # a prefix key the delta never mentions yields o == n and emits
-    # nothing, so computing it is pure waste. Semi-joining the prefix
-    # against the commit's slim n-side key set (the batch winners — tiny
-    # next to the base, read from the appended dirs alone) cuts the
-    # verdict aggregate's input from O(chain rows) to O(touched keys)
-    # per commit: the feed stays O(changes), not O(bucket), at the
-    # replicate.sync per-version cadence. CoW commits have no ``b`` rows
-    # and are untouched by the filter.
+    # ``b``-role rows (the shared chain prefix of a commit) matter only
+    # for keys some NON-shared dir of that commit touched — a key whose
+    # rows all live in shared dirs yields o == n and emits nothing, so
+    # computing it is pure waste. The touch set is the slim key set of
+    # the commit's o-only and n-only dirs (for an append: the batch
+    # winners in the appended dir; for a rollback: the removed deltas —
+    # tiny next to the base either way). Semi-filtering the prefix
+    # against it cuts the verdict aggregate's input from O(chain rows)
+    # to O(touched keys) per commit: the feed stays O(changes), not
+    # O(bucket), at the replicate.sync per-version cadence. CoW commits
+    # have no ``b`` rows and are untouched by the filter. The set must
+    # cover BOTH non-shared sides: keying it off n-dirs alone drops the
+    # prefix rows a chain-SHRINKING commit (rollback) needs for its new
+    # side, misclassifying every rolled-back key as a delete.
     b_tags = [t for t in tags if t[2] == "b"]
     if b_tags:
-        n_dirs = sorted({t[0] for t in tags if t[2] == "n"})
-        n_tags_df = spark.createDataFrame(
-            [t[:2] for t in tags if t[2] == "n"],
-            "_dirkey string, _commit_version int",
+        ch_tags = [t for t in tags if t[2] != "b"]
+        ch_dirs = sorted({t[0] for t in ch_tags})
+        ch_tags_df = spark.createDataFrame(
+            [t[:2] for t in ch_tags], "_dirkey string, _commit_version int",
         )
-        n_keys = (
+        touched_keys = (
             spark.read.schema(
                 T.StructType([f for f in schema.fields if f.name in KEY_COLS])
             )
-            .parquet(*[os.path.join(table.root, d) for d in n_dirs])
+            .parquet(*[os.path.join(table.root, d) for d in ch_dirs])
             .withColumn(
                 "_dirkey", F.regexp_extract(F.input_file_name(), _DIR_RE, 1)
             )
-            .join(F.broadcast(n_tags_df), "_dirkey")
+            .join(F.broadcast(ch_tags_df), "_dirkey")
             .select(*KEY_COLS, "_commit_version")
             .distinct()
         )
         # one left join with a distinct slim set (never duplicates rows):
         # keep non-b rows unconditionally, b rows only when touched
-        marked = n_keys.withColumn("_touched", F.lit(True))
+        marked = touched_keys.withColumn("_touched", F.lit(True))
         tagged = (
             tagged.join(marked, [*KEY_COLS, "_commit_version"], "left")
             .where((F.col("_side") != "b") | F.col("_touched").isNotNull())
