@@ -391,7 +391,9 @@ def _oracle_sql_literal(h) -> dict[str, str]:
         "csv_roundtrip": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                   min(doc_id) AS min_doc_id
+                   min(doc_id) AS min_doc_id,
+                   CAST(sum(length(text)) AS BIGINT) AS total_text_chars,
+                   min(sha256(text)) AS min_text_sha
             FROM documents GROUP BY lang
         """,
         "merge_into_snapshot": """
@@ -429,12 +431,6 @@ def _oracle_sql_literal(h) -> dict[str, str]:
                    CASE WHEN c_custkey % 10 = 0 THEN '' ELSE c_name END
                        AS org_name
             FROM customer
-        """,
-        "jsonl_roundtrip": """
-            SELECT lang, count(*) AS n_docs,
-                   CAST(sum(length(text)) AS BIGINT) AS total_text_chars,
-                   min(sha256(text)) AS min_text_sha
-            FROM documents GROUP BY lang
         """,
         "scalar_conversions": """
             SELECT event_id,

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .dedup import bucket_expr
-from .lake import TOMBSTONE_COL, SnapshotTable, _chain
+from .lake import TOMBSTONE_COL, SnapshotTable, _chain, _entry_parts
 from .schema import KEY_COLS
 
 
@@ -51,7 +51,7 @@ def audit_table(spark: SparkSession, table: SnapshotTable) -> dict:
     checks["latest_manifest_exists"] = v == 0 or os.path.isfile(manifest_path)
     m = table.manifest()
     dirs = table._bucket_dirs(m)  # noqa: SLF001
-    missing = [d for d in dirs if not os.path.isdir(d)]
+    missing = [d for d in dirs if not os.path.exists(d)]
     checks["bucket_dirs_exist"] = {"ok": not missing, "missing": missing}
     checks["bucket_count_consistent"] = int(m["n_buckets"]) == table.n_buckets
 
@@ -77,10 +77,11 @@ def audit_table(spark: SparkSession, table: SnapshotTable) -> dict:
     )
     parts = []
     for b_str, entry in m["files"].items():
-        chained = not isinstance(entry, str)
+        _, heads, tails = _entry_parts(entry)
+        chained = bool(heads or tails)
         for i, rel in enumerate(_chain(entry)):
             d = os.path.join(table.root, rel)
-            if not os.path.isdir(d):
+            if not os.path.exists(d):
                 continue  # reported by bucket_dirs_exist; audit the rest
             parts.append(
                 spark.read.schema(raw_schema).parquet(d)
@@ -159,8 +160,10 @@ def audit_table(spark: SparkSession, table: SnapshotTable) -> dict:
     ok = all(
         c if isinstance(c, bool) else c.get("ok", True) for c in checks.values()
     )
+    from .maintain import _chain_len
+
     chain_lens = [
-        len(e) for e in m["files"].values() if not isinstance(e, str)
+        n for n in (_chain_len(e) for e in m["files"].values()) if n > 0
     ]
     return {
         "ok": ok,

@@ -66,35 +66,58 @@ from .schema import KEY_COLS
 
 CHANGE_COLS = ["commit", "lang", "content", "content_sha256", "_last_lsn"]
 
-# matches the manifest-relative bucket-dir path inside a task's file URI;
-# anchored to the trailing file name so a table ROOT that itself contains
-# a data/vN/_bucket=K segment can never shadow the real bucket dir
-_DIR_RE = r"(data/v\d+/_bucket=\d+)/[^/]*$"
+# matches the manifest-relative data-FILE path inside a task's file URI;
+# anchored to the end so a table ROOT that itself contains a
+# data/vN/_bucket=K segment can never shadow the real bucket dir
+_FILE_RE = r"(data/v\d+/_bucket=\d+/[^/]+)$"
 
 
-def _dir_tags(manifests: dict[int, dict], from_version: int, to_version: int
-              ) -> list[tuple[str, int, str]]:
-    """(bucket-dir relpath, commit version, role) for every diff side in
-    the interval. Walking the manifest chain per bucket: each commit
-    where a bucket's dir CHAIN changes contributes the outgoing dirs as
-    the ``o`` side and the incoming dirs as the ``n`` side of that
-    commit's diff; a dir on BOTH sides (the untouched prefix of a
-    merge-on-read chain append) is tagged once as ``b`` and serves both
-    sides of the verdict aggregate. Either side may be empty — bucket
-    born or emptied. A CoW commit contributes exactly one ``o`` and one
-    ``n`` dir, so for pure-CoW tables the tag list stays O(changed
-    buckets). A delta append contributes its prefix as ``b`` every time
-    the chain grows, so a K-commit interval over an L-dir chain costs
-    O(K × L) tags (i.e. the chain is re-scanned per commit it
-    participates in) — per-version consumers (``replicate.sync``) pay
-    O(chain) per sync, and ``maintain.compact`` resets the chain."""
+def _file_tags(root: str, manifests: dict[int, dict], from_version: int,
+               to_version: int) -> list[tuple[str, int, str]]:
+    """(data-file relpath, commit version, role) for every diff side in
+    the interval, at FILE granularity. Walking the manifest chain per
+    bucket: each commit where a bucket's file SET changes contributes
+    the outgoing files as the ``o`` side and the incoming files as the
+    ``n`` side of that commit's diff; a file on BOTH sides — the
+    untouched prefix of a merge-on-read chain append, or a cold file
+    carried by reference across a file-level CoW rewrite — is tagged
+    once as ``b`` and serves both sides of the verdict aggregate.
+    Either side may be empty (bucket born or emptied). Dir-form entries
+    expand to their parquet files (driver listing, memoized — committed
+    dirs are immutable), so every tag joins the scan on one uniform
+    file key whatever manifest form the commit used.
+
+    The tag LIST for a K-commit interval over an L-file chain is
+    O(K × L) driver-side metadata, but the scan is not: shared (``b``)
+    files are read ONCE and fanned out per TOUCHED KEY, never per
+    commit (see read_changelog), so the feed's data cost stays
+    O(interval files + touched keys)."""
+    listing: dict[str, list[str]] = {}
+
+    def files_of(entry) -> list[str]:
+        out: list[str] = []
+        for rel in _chain(entry):
+            if rel.endswith(".parquet"):
+                out.append(rel)
+                continue
+            if rel not in listing:
+                d = os.path.join(root, rel)
+                listing[rel] = [
+                    os.path.join(rel, f)
+                    for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+                ]
+            out.extend(listing[rel])
+        return out
+
     tags: list[tuple[str, int, str]] = []
     cur = dict(manifests[from_version]["files"])
     for v in range(from_version + 1, to_version + 1):
         nxt = manifests[v]["files"]
         for b in set(cur) | set(nxt):
-            o = _chain(cur[b]) if b in cur else []
-            n = _chain(nxt[b]) if b in nxt else []
+            if b in cur and b in nxt and cur[b] == nxt[b]:
+                continue
+            o = files_of(cur[b]) if b in cur else []
+            n = files_of(nxt[b]) if b in nxt else []
             if o != n:
                 o_set, n_set = set(o), set(n)
                 tags.extend((d, v, "b") for d in sorted(o_set & n_set))
@@ -119,7 +142,7 @@ def read_changelog(
     if to_version < from_version:
         raise ValueError(f"to_version {to_version} < from_version {from_version}")
     manifests = {v: table.manifest_at(v) for v in range(from_version, to_version + 1)}
-    tags = _dir_tags(manifests, from_version, to_version)
+    tags = _file_tags(table.root, manifests, from_version, to_version)
     if not tags:
         schema_src = table.read().select(
             *KEY_COLS, *CHANGE_COLS,
@@ -127,65 +150,77 @@ def read_changelog(
         )
         return schema_src.where(F.lit(False))
     spark = table.spark
-    # one scan over every distinct dir, pruned to the diff columns; the
-    # tombstone marker exists only in delta files and reads null (= live)
-    # from CoW bases — parquet by-name resolution
+    # pruned scans over the interval's files; the tombstone marker exists
+    # only in delta files and reads null (= live) from CoW bases —
+    # parquet by-name resolution
     wanted = set(KEY_COLS) | set(CHANGE_COLS)
     schema = T.StructType(
         [f for f in table.base_fields if f.name in wanted]
         + [T.StructField(TOMBSTONE_COL, T.BooleanType())]
     )
-    dirs = sorted({t[0] for t in tags})
-    scan = spark.read.schema(schema).parquet(
-        *[os.path.join(table.root, d) for d in dirs]
+    fkey = F.regexp_extract(F.input_file_name(), _FILE_RE, 1).alias("_fkey")
+    ch_tags = [t for t in tags if t[2] != "b"]
+    ch_files = sorted({t[0] for t in ch_tags})
+    ch_tags_df = spark.createDataFrame(
+        ch_tags, "_fkey string, _commit_version int, _side string"
     )
-    tags_df = spark.createDataFrame(
-        tags, "_dirkey string, _commit_version int, _side string"
+    tagged = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(table.root, d) for d in ch_files])
+        .withColumn("_fkey", fkey)
+        .join(F.broadcast(ch_tags_df), "_fkey")
     )
-    tagged = scan.withColumn(
-        "_dirkey", F.regexp_extract(F.input_file_name(), _DIR_RE, 1)
-    ).join(F.broadcast(tags_df), "_dirkey")
-    # ``b``-role rows (the shared chain prefix of a commit) matter only
-    # for keys some NON-shared dir of that commit touched — a key whose
-    # rows all live in shared dirs yields o == n and emits nothing, so
-    # computing it is pure waste. The touch set is the slim key set of
-    # the commit's o-only and n-only dirs (for an append: the batch
-    # winners in the appended dir; for a rollback: the removed deltas —
-    # tiny next to the base either way). Semi-filtering the prefix
-    # against it cuts the verdict aggregate's input from O(chain rows)
-    # to O(touched keys) per commit: the feed stays O(changes), not
-    # O(bucket), at the replicate.sync per-version cadence. CoW commits
-    # have no ``b`` rows and are untouched by the filter. The set must
-    # cover BOTH non-shared sides: keying it off n-dirs alone drops the
-    # prefix rows a chain-SHRINKING commit (rollback) needs for its new
-    # side, misclassifying every rolled-back key as a delete.
+    # ``b``-role rows — files SHARED between a commit's two sides (the
+    # untouched prefix of a merge-on-read chain append; cold files
+    # carried by reference across a file-level CoW rewrite) — matter
+    # only for keys some NON-shared file of that commit touched: a key
+    # whose rows all live in shared files yields o == n and emits
+    # nothing, so computing it is pure waste. The touch set is the slim
+    # key set of the commit's o-only and n-only files (for an append:
+    # the batch winners in the appended dir; for a rollback: the removed
+    # deltas — tiny next to the base either way). Crucially the shared
+    # files are scanned ONCE for the whole interval and fanned out BY
+    # TOUCHED KEY (an equi-join on the key assigns each row the commit
+    # versions that need it, then a broadcast semi on (file, commit)
+    # keeps only pairs where the file really is shared), never
+    # re-scanned or replicated per commit — a K-commit interval over an
+    # L-file chain costs O(L + touched) data rows, not O(K × L). The
+    # touch set must cover BOTH non-shared sides: keying it off n-files
+    # alone drops the prefix rows a chain-SHRINKING commit (rollback)
+    # needs for its new side, misclassifying every rolled-back key as a
+    # delete. CoW commits with no carried files have no ``b`` tags and
+    # skip this subplan entirely.
     b_tags = [t for t in tags if t[2] == "b"]
     if b_tags:
-        ch_tags = [t for t in tags if t[2] != "b"]
-        ch_dirs = sorted({t[0] for t in ch_tags})
-        ch_tags_df = spark.createDataFrame(
-            [t[:2] for t in ch_tags], "_dirkey string, _commit_version int",
+        b_files = sorted({t[0] for t in b_tags})
+        b_pairs_df = spark.createDataFrame(
+            [t[:2] for t in b_tags], "_fkey string, _commit_version int",
         )
         touched_keys = (
             spark.read.schema(
                 T.StructType([f for f in schema.fields if f.name in KEY_COLS])
             )
-            .parquet(*[os.path.join(table.root, d) for d in ch_dirs])
-            .withColumn(
-                "_dirkey", F.regexp_extract(F.input_file_name(), _DIR_RE, 1)
-            )
-            .join(F.broadcast(ch_tags_df), "_dirkey")
+            .parquet(*[os.path.join(table.root, d) for d in ch_files])
+            .withColumn("_fkey", fkey)
+            .join(F.broadcast(ch_tags_df.select("_fkey", "_commit_version")), "_fkey")
             .select(*KEY_COLS, "_commit_version")
             .distinct()
         )
-        # one left join with a distinct slim set (never duplicates rows):
-        # keep non-b rows unconditionally, b rows only when touched
-        marked = touched_keys.withColumn("_touched", F.lit(True))
-        tagged = (
-            tagged.join(marked, [*KEY_COLS, "_commit_version"], "left")
-            .where((F.col("_side") != "b") | F.col("_touched").isNotNull())
-            .drop("_touched")
+        b_rows = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(table.root, d) for d in b_files])
+            .withColumn("_fkey", fkey)
+            # key-equi join: each shared-file row picks up ONLY the
+            # commit versions whose diff touched its key (usually none —
+            # the row never leaves the build side of the join)
+            .join(touched_keys, list(KEY_COLS))
+            # ...and survives only for commits in which ITS file is a
+            # shared side (a row of an o-only/n-only file never rides
+            # the b path; its own scan above covers it)
+            .join(F.broadcast(b_pairs_df), ["_fkey", "_commit_version"])
+            .withColumn("_side", F.lit("b"))
         )
+        tagged = tagged.unionByName(b_rows)
     # slim verdict: only longs cross the aggregation buffer. Each side's
     # state is its max-lsn row, with the winner's tombstone riding the low
     # bit of a packed long (lsn < 2^61 is enforced at ingest, so lsn*2+1

@@ -69,10 +69,41 @@ class SnapshotExpiredError(ValueError):
 TOMBSTONE_COL = "_tombstone"
 
 
+def _entry_parts(entry) -> tuple[list[list], list[list], list[str]]:
+    """Normalize a manifest ``files`` value to
+    ``(plain_refs, head_refs, tail_dirs)``.
+
+    A *ref* is ``[relpath, rows, lo_repo, lo_path, hi_repo, hi_path]``
+    (``rows``/bounds may be None when unknown; a ref without bounds is
+    always treated as possibly containing any key). Three stored forms:
+
+    - ``str`` — one pure-CoW base dir (legacy): one plain ref, no stats.
+    - ``list[str]`` — merge-on-read dir chain: head dir + delta dirs.
+      The head may itself hold tombstones (a bucket born in delta
+      mode), so it rides the head side, never the plain side.
+    - ``dict`` — file-level CoW: ``{"base": [ref...], "deltas":
+      [dir...]}``. Base refs are individual parquet FILES with key-range
+      stats (the Iceberg manifest-entry analog); they never hold
+      tombstones, so with no deltas the bucket reads as a plain scan.
+
+    ``plain_refs`` read as a plain scan (exactly one live row per key
+    across them); ``head_refs``/``tail_dirs`` require the merge-on-read
+    reconstruction (``_read_merged``)."""
+    if isinstance(entry, str):
+        return [[entry, None, None, None, None, None]], [], []
+    if isinstance(entry, dict):
+        base = [list(r) for r in entry["base"]]
+        deltas = list(entry.get("deltas") or [])
+        return ([], base, deltas) if deltas else (base, [], [])
+    dirs = list(entry)
+    return [], [[dirs[0], None, None, None, None, None]], dirs[1:]
+
+
 def _chain(entry) -> list[str]:
-    """A manifest ``files`` value as a dir chain. ``str`` is the pure-CoW
-    base form; a list is base + deltas in commit order (merge-on-read)."""
-    return [entry] if isinstance(entry, str) else list(entry)
+    """Every data path (dir or file) a manifest ``files`` value
+    references, base-to-newest-delta order."""
+    plain, heads, tails = _entry_parts(entry)
+    return [r[0] for r in plain] + [r[0] for r in heads] + tails
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -106,6 +137,83 @@ def _atomic_write(path: str, payload: str, exclusive: bool = False) -> None:
             os.unlink(tmp)
         except OSError:
             pass
+
+
+def scan_written_footers(root: str, out_dir: str) -> dict[str, dict]:
+    """Per-bucket stats for the parquet files just written under
+    ``out_dir`` — driver-side footer metadata only, no Spark job (the
+    same stats harvest an Iceberg manifest commit performs):
+
+    ``{bucket: {"rows", "max_lsn", "bytes", "dir", "files": [ref...]}}``
+
+    where each ref is ``[relpath, rows, lo_repo, lo_path, hi_repo,
+    hi_path]``. The key bounds are per-COLUMN min/max over row groups —
+    a conservative superset of the file's true (repo, path) tuple
+    interval, so file-level range pruning can only over-select, never
+    miss a key; files without usable stats get None bounds (always
+    'hit'). Zero-row files are skipped.
+    """
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    if not os.path.isdir(out_dir):
+        return out
+    rel_dir = os.path.relpath(out_dir, root)
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("_bucket="):
+            continue
+        b = entry.split("=", 1)[1]
+        bdir = os.path.join(out_dir, entry)
+        rows_total, bytes_total, max_lsn = 0, 0, None
+        refs: list[list] = []
+        for fname in sorted(os.listdir(bdir)):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(bdir, fname)
+            md = pq.ParquetFile(fpath).metadata
+            if md.num_rows == 0:
+                continue
+            rows_total += md.num_rows
+            bytes_total += os.path.getsize(fpath)
+            names = md.schema.names
+            bounds: list = []
+            for colname in ("repo", "path"):
+                lo = hi = None
+                if colname in names:
+                    idx = names.index(colname)
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            mn, mx = mn.decode(), mx.decode()
+                        lo = mn if lo is None or mn < lo else lo
+                        hi = mx if hi is None or mx > hi else hi
+                bounds.append((lo, hi))
+            if "_last_lsn" in names:
+                idx = names.index("_last_lsn")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        mx = int(st.max)
+                        max_lsn = mx if max_lsn is None or mx > max_lsn else max_lsn
+            (lr, hr), (lp, hp) = bounds
+            if lr is None or lp is None:
+                lr = lp = hr = hp = None
+            refs.append([
+                os.path.join(rel_dir, entry, fname), md.num_rows,
+                lr, lp, hr, hp,
+            ])
+        out[b] = {
+            "rows": rows_total,
+            "max_lsn": max_lsn,
+            "bytes": bytes_total,
+            "dir": os.path.join(rel_dir, entry),
+            "files": refs,
+        }
+    return out
 
 
 class SnapshotTable:
@@ -193,15 +301,15 @@ class SnapshotTable:
     def _split_entries(
         self, m: dict, buckets: list[int] | None = None
     ) -> tuple[list[str], list[str], list[str]]:
-        """(plain CoW dirs, chain HEAD dirs, chain TAIL dirs) for the
-        bucket selection. A bucket whose entry is a list — even of
-        length 1 — goes to the chain side: its dirs may hold tombstones
-        and per-key history, so it must be read through the merge path.
-        The head/tail split is what lets the merged read keep the bulk
-        of the base out of any shuffle (see ``_read_merged``); keys are
-        hash-routed to exactly one bucket, so tail keys of one bucket
-        can never contest another bucket's head rows — the flattened
-        lists stay correct across buckets."""
+        """(plain CoW paths, chain HEAD paths, chain TAIL dirs) for the
+        bucket selection. A bucket with delta dirs goes to the chain
+        side: its tails may hold tombstones and per-key history, so it
+        must be read through the merge path. The head/tail split is what
+        lets the merged read keep the bulk of the base out of any
+        shuffle (see ``_read_merged``); keys are hash-routed to exactly
+        one bucket, so tail keys of one bucket can never contest another
+        bucket's head rows — the flattened lists stay correct across
+        buckets."""
         files = m["files"]
         keys = [str(b) for b in buckets] if buckets is not None else list(files)
         base: list[str] = []
@@ -210,13 +318,10 @@ class SnapshotTable:
         for k in keys:
             if k not in files:
                 continue
-            entry = files[k]
-            dirs = [os.path.join(self.root, d) for d in _chain(entry)]
-            if isinstance(entry, str):
-                base.extend(dirs)
-            else:
-                heads.append(dirs[0])
-                tails.extend(dirs[1:])
+            plain, hd, tl = _entry_parts(files[k])
+            base.extend(os.path.join(self.root, r[0]) for r in plain)
+            heads.extend(os.path.join(self.root, r[0]) for r in hd)
+            tails.extend(os.path.join(self.root, d) for d in tl)
         return base, heads, tails
 
     def manifest_at(self, version: int) -> dict:
@@ -235,7 +340,7 @@ class SnapshotTable:
                 f"version {version}: manifest expired or never committed "
                 f"(latest is {self.version()})"
             ) from None
-        missing = [d for d in self._bucket_dirs(m) if not os.path.isdir(d)]
+        missing = [d for d in self._bucket_dirs(m) if not os.path.exists(d)]
         if missing:
             raise SnapshotExpiredError(
                 f"version {version}: {len(missing)} data dir(s) removed by "
@@ -316,6 +421,108 @@ class SnapshotTable:
         cur = tail.join(winners, [*self.key_cols, "_last_lsn"], "semi")
         return (
             survivors.unionByName(cur).where(live).drop(TOMBSTONE_COL)
+        )
+
+    def read_for_merge(
+        self, manifest: dict, touched: list[int], keys_df: DataFrame
+    ) -> tuple[DataFrame, dict[str, list[list]], dict]:
+        """The touched-bucket read for a CoW merge, pruned at FILE level
+        (the Iceberg per-file manifest-entry analog): returns
+        ``(target_df, cold_refs, stats)``.
+
+        Within each touched bucket whose manifest entry carries per-file
+        key-range stats, only the files whose conservative (repo, path)
+        interval can contain a batch key are read (``target_df``); the
+        rest are COLD — returned in ``cold_refs`` per bucket so the
+        commit carries them forward by reference instead of rewriting
+        them. This is what caps CoW write amplification when updates
+        concentrate in a small working set: merge cost scales with the
+        update footprint in FILES, not in buckets. Soundness: a file's
+        stored bounds are a superset of its true key interval
+        (scan_written_footers), and every batch key hashes to exactly
+        one bucket, so any existing row of a batch key lives in a HIT
+        file — a cold file can never hold a row the merge should have
+        replaced or deleted.
+
+        Buckets still in legacy dir form (no stats) are read whole, as
+        are merge-on-read chains (their delta dirs may supersede any
+        base key, so base files cannot be carried independently); both
+        get file-level entries the first time they are rewritten or
+        compacted. The hit decision is one tiny Spark job: the slim
+        batch key set joined to a broadcast of the candidate file
+        ranges (bucket-equality hash join + range filter) — zero jobs
+        when no candidate has stats.
+        """
+        files = manifest["files"]
+        schema = self.table_schema([tuple(c) for c in manifest["dyn_schema"]])
+        plain_paths: list[str] = []   # stat-less refs: always read
+        heads: list[str] = []
+        tails: list[str] = []
+        cand: list[tuple] = []        # (bucket, seq, ref) with bounds
+        refs_by_id: dict[tuple[int, int], list] = {}
+        for b in touched:
+            k = str(b)
+            if k not in files:
+                continue
+            plain, hd, tl = _entry_parts(files[k])
+            heads.extend(os.path.join(self.root, r[0]) for r in hd)
+            tails.extend(os.path.join(self.root, d) for d in tl)
+            for i, r in enumerate(plain):
+                if r[2] is None:
+                    plain_paths.append(os.path.join(self.root, r[0]))
+                else:
+                    cand.append((int(b), i, r[2], r[3], r[4], r[5]))
+                    refs_by_id[(int(b), i)] = r
+        cold: dict[str, list[list]] = {}
+        n_hit_pruned = 0
+        if cand:
+            from .dedup import bucket_expr
+
+            rdf = self.spark.createDataFrame(
+                cand,
+                "b int, i int, lr string, lp string, hr string, hp string",
+            )
+            keys = keys_df.select(
+                "repo", "path", bucket_expr(self.n_buckets).alias("b")
+            )
+            ge_lo = (F.col("repo") > F.col("lr")) | (
+                (F.col("repo") == F.col("lr")) & (F.col("path") >= F.col("lp"))
+            )
+            le_hi = (F.col("repo") < F.col("hr")) | (
+                (F.col("repo") == F.col("hr")) & (F.col("path") <= F.col("hp"))
+            )
+            hit_ids = {
+                (r["b"], r["i"])
+                for r in keys.join(F.broadcast(rdf), ["b"])
+                .where(ge_lo & le_hi)
+                .select("b", "i")
+                .distinct()
+                .collect()
+            }
+            for (b, i), ref in refs_by_id.items():
+                if (b, i) in hit_ids:
+                    plain_paths.append(os.path.join(self.root, ref[0]))
+                    n_hit_pruned += 1
+                else:
+                    cold.setdefault(str(b), []).append(ref)
+        stats = {
+            "files_hit": len(plain_paths) + len(heads) + len(tails),
+            "files_cold": sum(len(v) for v in cold.values()),
+            "rows_cold": sum(
+                int(r[1] or 0) for v in cold.values() for r in v
+            ),
+        }
+        parts: list[DataFrame] = []
+        if plain_paths:
+            parts.append(self.spark.read.schema(schema).parquet(*plain_paths))
+        if heads or tails:
+            parts.append(self._read_merged(heads, tails, schema))
+        if not parts:
+            return self.spark.createDataFrame([], schema), cold, stats
+        return (
+            parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1]),
+            cold,
+            stats,
         )
 
     def lookup(self, keys: list[tuple[str, str]]) -> DataFrame:
@@ -407,6 +614,7 @@ class SnapshotTable:
         dyn_schema: list[tuple[str, str]],
         metrics: dict,
         full_rewrite: bool = False,
+        bucket_entries: dict | None = None,
     ) -> dict:
         """Publish version N: new bucket dirs + carried-forward references.
 
@@ -414,12 +622,21 @@ class SnapshotTable:
         data-dir references; touched buckets point into written_dir
         (buckets that ended empty simply disappear from the manifest).
         ``full_rewrite=True`` (rename/widen migration): nothing carries.
+        ``bucket_entries`` (file-level CoW): the caller supplies the new
+        manifest value per touched bucket — typically a dict of
+        per-file refs mixing freshly written files with COLD files of
+        the previous version carried forward by reference — and
+        written_dir is not scanned (empty entries drop the bucket).
         """
         prev = self.manifest()
         files: dict[str, str] = {} if full_rewrite else dict(prev["files"])
         for b in touched_buckets:
             files.pop(str(b), None)
-        if written_dir:
+        if bucket_entries is not None:
+            for b, e in bucket_entries.items():
+                if e and (not isinstance(e, dict) or e.get("base")):
+                    files[str(b)] = e
+        elif written_dir:
             rel = os.path.relpath(written_dir, self.root)
             for entry in sorted(os.listdir(written_dir)):
                 if entry.startswith("_bucket="):
@@ -456,8 +673,18 @@ class SnapshotTable:
         for entry in sorted(os.listdir(delta_dir)):
             if entry.startswith("_bucket="):
                 b = entry.split("=", 1)[1]
-                prev_chain = _chain(files[b]) if b in files else []
-                files[b] = prev_chain + [os.path.join(rel, entry)]
+                new = os.path.join(rel, entry)
+                cur = files.get(b)
+                if isinstance(cur, dict):
+                    # file-level base keeps its per-file refs; the delta
+                    # appends to the entry's chain side
+                    files[b] = {
+                        "base": cur["base"],
+                        "deltas": list(cur.get("deltas") or []) + [new],
+                    }
+                else:
+                    prev_chain = _chain(cur) if cur is not None else []
+                    files[b] = prev_chain + [new]
         manifest = {
             "version": version,
             "parent": prev["version"],
@@ -507,11 +734,19 @@ class SnapshotTable:
             "last_lsn": int(tgt["last_lsn"]),
             "dyn_schema": [list(c) for c in tgt["dyn_schema"]],
             "files": dict(tgt["files"]),
-            "n_buckets": self.n_buckets,
+            # the TARGET's bucket count, not the current one: a rebucket
+            # commit between to_version and now changed the layout, and
+            # restoring the old dirs under the new count would misroute
+            # every subsequent merge (wrong-bucket rewrites, stale rows
+            # staying referenced). Adopt it on this handle too, exactly
+            # like the constructor adopts the committed count on open.
+            "n_buckets": int(tgt["n_buckets"]),
             "committed_at": time.time(),
             "metrics": metrics,
         }
-        return self._publish(version, manifest, metrics)
+        out = self._publish(version, manifest, metrics)
+        self.n_buckets = int(tgt["n_buckets"])
+        return out
 
     def _publish(self, version: int, manifest: dict, metrics: dict) -> dict:
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")

@@ -21,7 +21,25 @@ import time
 from pyspark.sql import SparkSession
 
 from .dedup import bucket_expr
-from .lake import SnapshotTable, _chain
+from .lake import SnapshotTable, _chain, _entry_parts, scan_written_footers
+
+
+def _n_files(root: str, rel: str) -> int:
+    """Parquet file count behind one manifest path (a file ref counts as
+    itself; a dir is listed)."""
+    p = os.path.join(root, rel)
+    if rel.endswith(".parquet"):
+        return 1
+    return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+
+
+def _chain_len(entry) -> int:
+    """Merge-on-read chain length of a manifest entry: 0 for a plain
+    CoW bucket (str dir or file-level base with no deltas), else
+    1 head + the delta count — the read-amplification bound the
+    compaction policy budgets against."""
+    _, heads, tails = _entry_parts(entry)
+    return (1 if heads else 0) + len(tails)
 
 
 def bucket_file_stats(table: SnapshotTable) -> dict[int, int]:
@@ -31,12 +49,7 @@ def bucket_file_stats(table: SnapshotTable) -> dict[int, int]:
     m = table.manifest()
     out: dict[int, int] = {}
     for b, entry in m["files"].items():
-        out[int(b)] = sum(
-            1
-            for rel in _chain(entry)
-            for f in os.listdir(os.path.join(table.root, rel))
-            if f.endswith(".parquet")
-        )
+        out[int(b)] = sum(_n_files(table.root, rel) for rel in _chain(entry))
     return out
 
 
@@ -44,7 +57,7 @@ def chained_buckets(table: SnapshotTable) -> list[int]:
     """Buckets whose manifest entry is a merge-on-read delta chain."""
     return sorted(
         int(b) for b, entry in table.manifest()["files"].items()
-        if not isinstance(entry, str)
+        if _chain_len(entry) > 0
     )
 
 
@@ -66,8 +79,8 @@ def history(table: SnapshotTable, limit: int | None = None) -> list[dict]:
         except SnapshotExpiredError:
             break  # retention horizon: older history is gone
         metrics = m.get("metrics") or {}
-        chains = [len(e) for e in m["files"].values()
-                  if not isinstance(e, str)]
+        chains = [n for n in (_chain_len(e) for e in m["files"].values())
+                  if n > 0]
         # maintenance/recovery commits stamp an explicit op; merge
         # batches are told apart by which write phase they timed
         op = metrics.get("op") or (
@@ -94,7 +107,7 @@ def chain_lengths(table: SnapshotTable) -> dict[int, int]:
     CoW bucket, the chain length for a merge-on-read bucket — the
     read-amplification bound a compaction policy budgets against."""
     return {
-        int(b): 1 if isinstance(e, str) else len(e)
+        int(b): max(_chain_len(e), 1)
         for b, e in table.manifest()["files"].items()
     }
 
@@ -104,6 +117,7 @@ def compact(
     table: SnapshotTable,
     max_files_per_bucket: int = 1,
     max_chain_len: int = 0,
+    target_file_rows: int | None = None,
 ) -> dict:
     """Rewrite every bucket holding more than ``max_files_per_bucket``
     parquet files into one file per bucket; untouched buckets carry
@@ -124,6 +138,15 @@ def compact(
     short chains, which is exactly skew-adaptive at scale: hot buckets
     (long chains) compact often, cold buckets are never rewritten at
     all — the write-amplification profile CoW cannot offer.
+
+    ``target_file_rows`` splits each rewritten bucket into multiple
+    parquet files of at most that many rows. Because rows are key-sorted
+    before the writer rolls files, every file covers a CONTIGUOUS
+    (repo, path) interval, and the per-file key-range refs committed to
+    the manifest make subsequent merges file-level (lake.read_for_merge
+    rewrites only the files a batch's keys can live in) — compaction is
+    what lays out the file groups that cap CoW write amplification under
+    sparse-update workloads. Default None keeps one file per bucket.
     """
     t0 = time.time()
     manifest = table.manifest()
@@ -137,7 +160,7 @@ def compact(
         # from disk; chains at or under the policy threshold ride
         | set(
             int(b) for b, e in manifest["files"].items()
-            if not isinstance(e, str) and len(e) > max_chain_len
+            if _chain_len(e) > max_chain_len and _chain_len(e) > 0
         )
     )
     metrics: dict = {"op": "compact", "buckets_touched": len(touched)}
@@ -148,19 +171,31 @@ def compact(
     rows = (
         table.read(buckets=touched, manifest=manifest)
         .withColumn("_bucket", bucket_expr(table.n_buckets))
-        # one task per bucket -> exactly one output file per bucket dir
+        # one task per bucket -> one output file per bucket dir (or a
+        # key-contiguous roll of files under target_file_rows)
         .repartition(len(touched), "_bucket")
         # key-sorted layout inside each rewritten file (the Iceberg
         # rewrite_data_files sort-strategy analog): parquet row-group
         # min/max stats on (repo, path) become selective, so point
-        # lookups skip row groups instead of scanning the whole bucket.
-        # Compaction is the right place to pay this sort — the hot merge
-        # path never does
+        # lookups skip row groups instead of scanning the whole bucket —
+        # and per-FILE key ranges become disjoint, the layout file-level
+        # CoW prunes best against. Compaction is the right place to pay
+        # this sort — the hot merge path never does
         .sortWithinPartitions(*table.key_cols)
     )
     version = table.version() + 1
     out_dir = table.new_data_dir(version)
-    rows.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+    w = rows.write.mode("overwrite")
+    if target_file_rows:
+        w = w.option("maxRecordsPerFile", int(target_file_rows))
+    w.partitionBy("_bucket").parquet(out_dir)
+    harvest = scan_written_footers(table.root, out_dir)
+    entries = {
+        b: {"base": v["files"], "deltas": []}
+        for b, v in harvest.items() if v["files"]
+    }
+    metrics["files_written"] = sum(len(v["files"]) for v in harvest.values())
+    metrics["bytes_written"] = sum(v["bytes"] for v in harvest.values())
     metrics["wall_secs"] = round(time.time() - t0, 3)
     table.commit(
         version,
@@ -169,6 +204,7 @@ def compact(
         int(manifest["last_lsn"]),
         [tuple(c) for c in manifest["dyn_schema"]],
         metrics,
+        bucket_entries=entries,
     )
     metrics["version"] = version
     return metrics
@@ -279,6 +315,16 @@ def main(argv: list[str] | None = None) -> None:
     sub = ap.add_subparsers(dest="op", required=True)
     c = sub.add_parser("compact", help="rewrite fragmented buckets")
     c.add_argument("--max-files-per-bucket", type=int, default=1)
+    c.add_argument(
+        "--max-chain-len", type=int, default=0,
+        help="fold only delta chains LONGER than this (0 = fold all; the "
+             "bounded per-bucket compaction policy, Hudi max-delta-commits "
+             "analog)")
+    c.add_argument(
+        "--target-file-rows", type=int, default=None,
+        help="roll rewritten buckets into key-contiguous files of at most "
+             "this many rows (enables file-level CoW pruning on later "
+             "merges); default one file per bucket")
     v = sub.add_parser("vacuum", help="remove orphaned crash-debris dirs")
     v.add_argument("--min-age-secs", type=float, default=3600.0)
     r = sub.add_parser("rebucket", help="partition-spec evolution")
@@ -294,7 +340,10 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("etl_spark-maintain", master=args.master)
     table = SnapshotTable(spark, args.table)
     if args.op == "compact":
-        res = compact(spark, table, max_files_per_bucket=args.max_files_per_bucket)
+        res = compact(spark, table,
+                      max_files_per_bucket=args.max_files_per_bucket,
+                      max_chain_len=args.max_chain_len,
+                      target_file_rows=args.target_file_rows)
     elif args.op == "vacuum":
         res = {"op": "vacuum",
                "removed": remove_orphans(table, min_age_secs=args.min_age_secs)}

@@ -67,7 +67,7 @@ from .evolve import (
     remap_extra_keys,
     requires_rewrite,
 )
-from .lake import TOMBSTONE_COL, SnapshotTable
+from .lake import TOMBSTONE_COL, SnapshotTable, scan_written_footers
 from .metrics import BatchMetrics
 from .policies import BASE_EVENT_VALUE_COLS, NO_POLICIES, SEEN_COLS, MergePolicies
 from .schema import KEY_COLS
@@ -100,39 +100,13 @@ def event_null_key_expr():
     return (F.col("op") != "S") & (F.col("repo").isNull() | F.col("path").isNull())
 
 
-def _lineage_from_footers(out_dir: str, version: int) -> dict:
-    """Per-bucket (rows, max _last_lsn) from parquet footer metadata."""
-    import pyarrow.parquet as pq
-
-    lineage: dict = {}
-    if not os.path.isdir(out_dir):
-        return lineage
-    for entry in sorted(os.listdir(out_dir)):
-        if not entry.startswith("_bucket="):
-            continue
-        b = entry.split("=", 1)[1]
-        rows, max_lsn = 0, None
-        bdir = os.path.join(out_dir, entry)
-        for fname in os.listdir(bdir):
-            if not fname.endswith(".parquet"):
-                continue
-            md = pq.ParquetFile(os.path.join(bdir, fname)).metadata
-            rows += md.num_rows
-            try:
-                idx = md.schema.names.index("_last_lsn")
-            except ValueError:
-                continue
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is not None and st.has_min_max:
-                    mx = int(st.max)
-                    max_lsn = mx if max_lsn is None or mx > max_lsn else max_lsn
-        lineage[b] = {
-            "rows": rows,
-            "max_lsn": max_lsn,
-            "dir": f"data/v{version}/_bucket={b}",
-        }
-    return lineage
+def _lineage_from_harvest(harvest: dict) -> dict:
+    """Per-bucket (rows, max _last_lsn, dir) lineage from a footer
+    harvest (lake.scan_written_footers) — pure metadata, no Spark job."""
+    return {
+        b: {"rows": v["rows"], "max_lsn": v["max_lsn"], "dir": v["dir"]}
+        for b, v in harvest.items()
+    }
 
 
 def _event_value_expr(col: str):
@@ -666,8 +640,17 @@ def apply_prepared(
         finally:
             slim.unpersist()
 
-    # target side: only touched buckets are read & rewritten (CoW)
-    target = table.read(buckets=None if full_rewrite else touched)
+    # target side: only touched buckets are read & rewritten (CoW), and
+    # within each bucket only the FILES whose key range can contain a
+    # batch key — the rest carry forward by manifest reference
+    # (file-level CoW, lake.read_for_merge)
+    if full_rewrite:
+        target = table.read()
+        cold_refs, split_stats = {}, {}
+    else:
+        target, cold_refs, split_stats = table.read_for_merge(
+            manifest_prev, touched, slim
+        )
     target = evolve_table(target, changes, dyn_final)
 
     do_broadcast = n_keys <= BROADCAST_MAX_ROWS
@@ -677,7 +660,7 @@ def apply_prepared(
             spark, table, m, slim, data, target, changes, dyn_final, touched,
             full_rewrite, manifest_prev, do_broadcast, n_keys, ckpt, lsn_to,
             prep.batch_id, salted_dedup, use_arrow_udfs, use_observations,
-            dup_free, policies, t0,
+            dup_free, policies, t0, cold_refs, split_stats,
         )
     finally:
         slim.unpersist()
@@ -720,8 +703,10 @@ def _merge_and_commit(
     spark, table, m, slim, data, target, changes, dyn_final, touched,
     full_rewrite, manifest_prev, do_broadcast, n_keys, ckpt, lsn_to,
     batch_id, salted_dedup, use_arrow_udfs, use_observations, dup_free,
-    policies, t0,
+    policies, t0, cold_refs=None, split_stats=None,
 ):
+    cold_refs = cold_refs or {}
+    split_stats = split_stats or {}
     bcol = bucket_expr(table.n_buckets)
     data_cols = [c for c in target.columns]
 
@@ -729,14 +714,17 @@ def _merge_and_commit(
     if do_broadcast:
         slim_keys = F.broadcast(slim_keys)
     j = target.join(slim_keys, on=KEY_COLS, how="left")
-    # "Known empty" must match what table.read() actually resolved: a
-    # non-empty manifest whose TOUCHED buckets all happen to be new still
-    # yields an empty LocalRelation (the plan shape under which Catalyst
-    # can elide CollectMetrics), so guard on the resolved bucket dirs,
-    # not on manifest emptiness.
-    target_known_empty = not table._bucket_dirs(  # noqa: SLF001
-        manifest_prev, None if full_rewrite else touched
-    )
+    # "Known empty" must match what the target read actually resolved: a
+    # non-empty manifest whose TOUCHED buckets all happen to be new (or
+    # whose files were ALL pruned cold) still yields an empty
+    # LocalRelation (the plan shape under which Catalyst can elide
+    # CollectMetrics), so guard on the resolved read, not on manifest
+    # emptiness.
+    if full_rewrite:
+        target_known_empty = not table._bucket_dirs(manifest_prev)  # noqa: SLF001
+    else:
+        target_known_empty = bool(split_stats) and split_stats.get(
+            "files_hit", 0) == 0
     # Observation guards: (a) on a provably-empty target plan Catalyst's
     # empty-relation propagation can elide the CollectMetrics node;
     # (b) under a Structured Streaming foreachBatch sink, CollectMetrics
@@ -878,12 +866,27 @@ def _merge_and_commit(
     m.buckets_touched = len(touched)
     m.phase_secs["post_metrics"] = round(time.time() - t_phase, 3)
 
-    # per-partition lineage from the freshly written CoW files' parquet
-    # footers (row counts + _last_lsn column stats) — pure metadata reads
-    # on the driver, no extra Spark job. This is the same stats harvest an
-    # Iceberg manifest commit performs, scoped to the touched buckets.
+    # per-partition lineage + per-file key-range refs from the freshly
+    # written CoW files' parquet footers (row counts + repo/path/_last_lsn
+    # column stats) — pure metadata reads on the driver, no extra Spark
+    # job. This is the same stats harvest an Iceberg manifest commit
+    # performs, scoped to the touched buckets; the refs are what future
+    # merges prune against (file-level CoW).
     t_phase = time.time()
-    m.lineage = _lineage_from_footers(out_dir, version)
+    harvest = scan_written_footers(table.root, out_dir)
+    m.lineage = _lineage_from_harvest(harvest)
+    m.files_rewritten = sum(len(v["files"]) for v in harvest.values())
+    m.files_carried = int(split_stats.get("files_cold") or 0)
+    m.rows_carried_ref = int(split_stats.get("rows_cold") or 0)
+    m.bytes_written = sum(v["bytes"] for v in harvest.values())
+    # new manifest value per touched bucket: carried COLD refs + the
+    # files just written (a bucket with neither drops from the manifest)
+    entries: dict = {}
+    for b in {str(x) for x in touched} | set(harvest):
+        base = list(cold_refs.get(b, []))
+        if b in harvest:
+            base += harvest[b]["files"]
+        entries[b] = {"base": base, "deltas": []} if base else None
     m.phase_secs["lineage"] = round(time.time() - t_phase, 3)
     t_phase = time.time()
 
@@ -895,6 +898,7 @@ def _merge_and_commit(
         dyn_final,
         m.to_dict(),
         full_rewrite=full_rewrite,
+        bucket_entries=entries,
     )
     m.phase_secs["commit"] = round(time.time() - t_phase, 3)
     m.wall_secs = time.time() - t0
@@ -1008,7 +1012,9 @@ def _delta_commit(
     m.phase_secs["post_metrics"] = round(time.time() - t_phase, 3)
 
     t_phase = time.time()
-    m.lineage = _lineage_from_footers(out_dir, version)
+    harvest = scan_written_footers(table.root, out_dir)
+    m.lineage = _lineage_from_harvest(harvest)
+    m.bytes_written = sum(v["bytes"] for v in harvest.values())
     m.phase_secs["lineage"] = round(time.time() - t_phase, 3)
     t_phase = time.time()
     table.commit_delta(version, out_dir, max(ckpt, lsn_to), dyn_final, m.to_dict())

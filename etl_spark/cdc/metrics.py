@@ -39,6 +39,10 @@ class BatchMetrics:
     buckets_touched: int = 0
     full_rewrite: bool = False
     rows_out: int = 0                  # rows written this commit (touched buckets)
+    files_rewritten: int = 0           # data files written this commit
+    files_carried: int = 0             # cold files carried by reference (file-level CoW)
+    rows_carried_ref: int = 0          # rows inside carried cold files (from their refs)
+    bytes_written: int = 0             # bytes of data files written this commit
     wall_secs: float = 0.0
     phase_secs: dict = field(default_factory=dict)  # phase -> seconds (perf diag)
     lineage: dict = field(default_factory=dict)  # bucket -> {rows, dir}

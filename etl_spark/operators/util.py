@@ -35,7 +35,13 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()  # noqa: SLF001
         )
     except Exception:
-        size = None
-    if size is None:  # stats unavailable: fall back to the physical probe
-        return df.repartition(want) if df.rdd.getNumPartitions() < want else df
+        # stats unavailable: default to repartitioning, for the same
+        # reason the primary path avoids .rdd — probing
+        # df.rdd.getNumPartitions() would force full physical planning on
+        # the driver just to read a number. Inputs without stats here are
+        # non-scan shapes (local relations, fresh in-memory frames) that
+        # are small by construction, so one round-robin pass is free; a
+        # production-scale parquet scan always has file-size stats and
+        # never reaches this branch.
+        return df.repartition(want)
     return df.repartition(want) if size < want * 4 * 1024 * 1024 else df

@@ -57,6 +57,44 @@ def exchange_inputs(df: DataFrame) -> list[tuple[str, set[str]]]:
     return out
 
 
+def executed_node_rows(df: DataFrame) -> list[tuple[str, int]]:
+    """(node class name, numOutputRows) for every executed-plan node that
+    reports the metric — AFTER an action has run on ``df``. Lets tests
+    pin data-volume bounds (e.g. "this join fans out O(touched keys),
+    not O(commits × chain rows)") mechanically instead of by wall time.
+    AQE-aware: descends into materialized query stages; reused exchanges
+    are NOT descended (their rows were produced once by the original)."""
+    out: list[tuple[str, int]] = []
+    seen: set[int] = set()
+
+    def walk(node):
+        if node is None:
+            return
+        oid = node.hashCode()
+        name = node.getClass().getSimpleName()
+        if name == "ReusedExchangeExec":
+            return
+        if (oid, name) in seen:
+            return
+        seen.add((oid, name))
+        try:
+            metrics = node.metrics()
+            if metrics.contains("numOutputRows"):
+                out.append((name, int(metrics.apply("numOutputRows").value())))
+        except Exception:
+            pass
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        elif name.endswith("QueryStageExec"):
+            walk(node.plan())
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    return out
+
+
 def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 

@@ -40,7 +40,7 @@ def test_audit_detects_missing_bucket_dir(spark, tmp_path):
 
     t = _mk(spark, tmp_path / "lake")
     d = t._bucket_dirs(t.manifest())[0]  # noqa: SLF001
-    shutil.rmtree(d)
+    os.remove(d) if os.path.isfile(d) else shutil.rmtree(d)
     res = audit_table(spark, t)
     assert not res["ok"]
     assert not res["checks"]["bucket_dirs_exist"]["ok"]

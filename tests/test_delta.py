@@ -76,14 +76,13 @@ def test_delta_with_interleaved_compaction(spark, log, cow, tmp_path):
     # fast path and tombstones are off disk
     assert chained_buckets(t) == []
     assert _state(t) == _state(cow)
-    files = {
-        f
-        for e in t.manifest()["files"].values()
-        for f in os.listdir(os.path.join(t.root, e))
-    }
-    assert all(
-        f.endswith(".parquet") or f.startswith(("_", ".")) for f in files
-    )
+    # compaction commits file-level entries: every base ref is a real
+    # parquet file with key-range stats
+    for e in t.manifest()["files"].values():
+        assert isinstance(e, dict) and not e["deltas"], e
+        for ref in e["base"]:
+            assert ref[0].endswith(".parquet") and ref[2] is not None, ref
+            assert os.path.isfile(os.path.join(t.root, ref[0]))
     res = audit_table(spark, t)
     assert res["ok"], res
 
@@ -113,12 +112,11 @@ def test_delta_deletes_tombstone_then_compact_drops(spark, tmp_path):
     compact(spark, t)
     assert {r["path"] for r in t.read().collect()} == {"b"}
     # key a's tombstone is gone from disk: the raw on-disk row count of
-    # the live bucket dirs equals the single live row
-    dirs = [
-        os.path.join(t.root, e) for e in t.manifest()["files"].values()
-    ]
-    assert all(isinstance(e, str) for e in t.manifest()["files"].values())
-    assert spark.read.parquet(*dirs).count() == 1
+    # the live base refs equals the single live row
+    entries = list(t.manifest()["files"].values())
+    assert all(isinstance(e, dict) and not e["deltas"] for e in entries)
+    paths = [os.path.join(t.root, r[0]) for e in entries for r in e["base"]]
+    assert spark.read.parquet(*paths).count() == 1
 
 
 def test_delta_time_travel_and_expire(spark, log, tmp_path):

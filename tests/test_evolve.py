@@ -111,4 +111,9 @@ def test_add_is_metadata_only_widen_rewrites(spark, tmp_path):
     )
     m2 = apply_batch(spark, table, widen, 3, 401, 402)
     assert m2.full_rewrite
-    assert all(p.startswith("data/v3/") for p in table.manifest()["files"].values())
+    from etl_spark.cdc.lake import _chain
+
+    assert all(
+        p.startswith("data/v3/")
+        for e in table.manifest()["files"].values() for p in _chain(e)
+    )

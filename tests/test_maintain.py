@@ -59,28 +59,39 @@ def _apply_feed(rows):
 
 
 def test_changelog_diffs_are_bucket_scoped():
-    """Diff tags cover only dirs whose manifest reference changed — the
-    property that keeps CDF cost O(update footprint) — and each distinct
-    dir is tagged at most twice (new side once, old side once)."""
-    from etl_spark.cdc.changelog import _dir_tags
+    """Diff tags cover only files whose manifest reference changed — the
+    property that keeps CDF cost O(update footprint) — each distinct
+    file is tagged at most once per (commit, side), and a cold file
+    carried by reference across a file-level rewrite tags as ``b``
+    (shared), never re-scanned as a change."""
+    from etl_spark.cdc.changelog import _file_tags
 
-    m_old = {"files": {"0": "data/v1/_bucket=0", "1": "data/v1/_bucket=1",
-                       "3": "data/v1/_bucket=3"}}
-    m_new = {"files": {"0": "data/v1/_bucket=0",      # carried: not scanned
-                       "1": "data/v2/_bucket=1",      # rewritten
-                       "2": "data/v2/_bucket=2"}}     # new bucket
+    def fe(*paths):  # file-level entry (stats irrelevant to tagging)
+        return {"base": [[p, 1, None, None, None, None] for p in paths],
+                "deltas": []}
+
+    m_old = {"files": {"0": fe("data/v1/_bucket=0/a.parquet"),
+                       "1": fe("data/v1/_bucket=1/a.parquet",
+                               "data/v1/_bucket=1/b.parquet"),
+                       "3": fe("data/v1/_bucket=3/a.parquet")}}
+    m_new = {"files": {"0": fe("data/v1/_bucket=0/a.parquet"),  # carried
+                       "1": fe("data/v1/_bucket=1/a.parquet",   # cold ref
+                               "data/v2/_bucket=1/c.parquet"),  # rewritten
+                       "2": fe("data/v2/_bucket=2/a.parquet")}}  # new bucket
     # 3 disappeared (all rows deleted) -> must be scanned for deletes
-    tags = _dir_tags({1: m_old, 2: m_new}, 1, 2)
+    tags = _file_tags("/nonexistent", {1: m_old, 2: m_new}, 1, 2)
     assert sorted(tags) == [
-        ("data/v1/_bucket=1", 2, "o"),
-        ("data/v1/_bucket=3", 2, "o"),
-        ("data/v2/_bucket=1", 2, "n"),
-        ("data/v2/_bucket=2", 2, "n"),
+        ("data/v1/_bucket=1/a.parquet", 2, "b"),
+        ("data/v1/_bucket=1/b.parquet", 2, "o"),
+        ("data/v1/_bucket=3/a.parquet", 2, "o"),
+        ("data/v2/_bucket=1/c.parquet", 2, "n"),
+        ("data/v2/_bucket=2/a.parquet", 2, "n"),
     ]
-    # a dir rewritten at v2 then again at v3 is old-side of v3 once
-    m_3 = {"files": {"0": "data/v3/_bucket=0", "1": "data/v3/_bucket=1"}}
-    tags = _dir_tags({1: m_old, 2: m_new, 3: m_3}, 1, 3)
-    assert tags.count(("data/v2/_bucket=1", 3, "o")) == 1
+    # a file rewritten at v2 then again at v3 is old-side of v3 once
+    m_3 = {"files": {"0": fe("data/v3/_bucket=0/a.parquet"),
+                     "1": fe("data/v3/_bucket=1/a.parquet")}}
+    tags = _file_tags("/nonexistent", {1: m_old, 2: m_new, 3: m_3}, 1, 3)
+    assert tags.count(("data/v2/_bucket=1/c.parquet", 3, "o")) == 1
     assert all(tags.count(t) == 1 for t in tags)
 
 
@@ -267,7 +278,12 @@ def test_vacuum_after_expire_keeps_carried_forward_dirs(spark, replayed):
     )
     merge_into(spark, replayed, one)
     before = _state(replayed)
-    live_dirs = {d.split("/")[1] for d in replayed.manifest()["files"].values()}
+    from etl_spark.cdc.lake import _chain
+
+    live_dirs = {
+        d.split("/")[1]
+        for e in replayed.manifest()["files"].values() for d in _chain(e)
+    }
     assert len(live_dirs) > 1, "fixture must carry forward older version dirs"
     replayed.expire_snapshots(keep_last=1)
     old = time.time() - 7200
@@ -386,8 +402,22 @@ def test_changelog_long_delta_chain_constant_plan(spark, tmp_path):
     feed = read_changelog(t, from_version=0)
     plan = feed._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     scans = plan.count("Scan parquet")
-    assert 1 <= scans <= 4, plan[:2000]
+    # constant in the commit count (a per-commit reader would plan ~120):
+    # {changed-files wide, touched-keys narrow, shared-prefix wide} x the
+    # two consumers of the tagged union (verdict agg + image join-back)
+    assert 1 <= scans <= 6, plan[:2000]
     rows = feed.collect()
     folded = _apply_feed(rows)
     assert {k: lsn for (_, k), (_, lsn) in folded.items()} == expect
     assert {r["_commit_version"] for r in rows} == set(range(1, n_commits + 1))
+    # O(L + touched) scan/fan-out pin (VERDICT r3 #7): the shared chain
+    # prefix is read ONCE and fanned out per TOUCHED KEY, never per
+    # commit. With K=120 commits over an L=120-dir chain, a per-commit
+    # prefix re-tag would push ~K*L/2 ≈ 7100 rows through the tag join;
+    # the key-driven shape stays at the true touched-pair count
+    # (#{(w,v): w<v, key(w)==key(v)} ≈ 420) plus the slim ch-side rows.
+    from etl_spark.plans.explain import executed_node_rows
+
+    node_rows = executed_node_rows(feed)
+    join_out = sum(r for name, r in node_rows if "Join" in name)
+    assert 0 < join_out < 4000, sorted(node_rows, key=lambda x: -x[1])[:10]

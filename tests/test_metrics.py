@@ -56,10 +56,15 @@ def test_lineage_matches_table(spark, run):
     assert last.lineage, "lineage recorded per touched bucket"
     total_lineage = sum(v["rows"] for v in last.lineage.values())
     assert total_lineage == last.rows_out
-    # lineage dirs are the live manifest entries for those buckets
+    # every lineage dir's files are live manifest refs for that bucket
+    # (file-level CoW entries: freshly written refs + carried cold refs)
     manifest = t.manifest()
     for b, v in last.lineage.items():
-        assert manifest["files"][b] == v["dir"]
+        entry = manifest["files"][b]
+        assert isinstance(entry, dict), entry
+        new_refs = [r for r in entry["base"] if r[0].startswith(v["dir"])]
+        assert new_refs, (b, entry, v)
+        assert sum(r[1] for r in new_refs) == v["rows"]
         n = spark.read.parquet(f"{t.root}/{v['dir']}").count()
         assert n == v["rows"]
 

@@ -216,7 +216,7 @@ def test_no_plan_hazards_across_query_library(spark):
         "cdc_replay_snapshot", "cdc_merge_upsert", "merge_into_snapshot",
         "predicate_delete", "touch_first_last_seen", "coalesce_content_merge",
         "time_travel_incremental", "changelog_feed", "mirror_sync",
-        "scd2_history", "csv_roundtrip", "jsonl_roundtrip", "rpsl_roundtrip",
+        "scd2_history", "csv_roundtrip", "rpsl_roundtrip",
         # rollback_restore needs >=3 committed versions (the sf0.001
         # sweep log replays as ONE batch); its plan is a plain snapshot
         # read and the op is oracle-checked at sf0.01

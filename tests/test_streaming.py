@@ -100,9 +100,12 @@ def test_expire_snapshots_keeps_live_data(spark, tmp_path):
     # live manifest still fully readable, identical rows
     after = sorted(map(tuple, table.read().collect()))
     assert after == before
-    # every dir referenced by the live manifest survived
-    for rel in table.manifest()["files"].values():
-        assert rel.split("/")[1] in remaining
+    # every path referenced by the live manifest survived
+    from etl_spark.cdc.lake import _chain
+
+    for entry in table.manifest()["files"].values():
+        for rel in _chain(entry):
+            assert rel.split("/")[1] in remaining
 
 
 def test_out_of_order_delivery_fails_loudly(spark, tmp_path):
