@@ -44,7 +44,8 @@ from pyspark.sql import types as T
 from ..functions.udfs import lang_norm_expr
 from .dedup import bucket_expr, dedup_last_writer
 from .lake import SnapshotTable
-from .merge import BROADCAST_MAX_ROWS, _lineage_from_footers, prepare_batch
+from .lake import scan_written_footers
+from .merge import BROADCAST_MAX_ROWS, _lineage_from_harvest, prepare_batch
 from .metrics import BatchMetrics
 from .schema import KEY_COLS
 
@@ -154,7 +155,7 @@ def _apply(spark, table, prep, slim, touched, m, t0):
     m.winners = prep.n_keys
     m.conflicts_resolved = m.data_events - m.winners
     m.buckets_touched = len(touched)
-    m.lineage = _lineage_from_footers(out_dir, version)
+    m.lineage = _lineage_from_harvest(scan_written_footers(table.root, out_dir))
     m.rows_out = sum(int(v["rows"]) for v in m.lineage.values())
     table.commit(
         version, out_dir, touched, max(prep.ckpt, prep.lsn_to), [], m.to_dict()
