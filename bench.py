@@ -122,11 +122,21 @@ def run_headline() -> dict:
 
     _shared_replay(spark, SF_DIR)
 
+    # cold pass (includes first-run codegen/broadcast build per query),
+    # then a second timed pass per query: the WARM steady-state number —
+    # what a resident service or repeated pipeline stage actually pays.
+    # Both are reported so artifact and claim can't diverge (VERDICT r3
+    # #4: ann_lsh_topk's cold headline hid a 2x-faster steady state).
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         _materialize(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(QUERIES[name](spark, SF_DIR))
+        warm[name] = round(time.time() - t0, 3)
 
     # flagship: full CDC replay of a generated log, events/sec
     from etl_spark.cdc.gen import GenConfig, write_events
@@ -185,6 +195,8 @@ def run_headline() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
         "sf": _sf_of(SF_DIR),
         "cdc_events": N_EVENTS,
         "cdc_events_per_sec": round(eps, 1),
@@ -205,7 +217,9 @@ def _workroot() -> str:
 
 
 def _run_replay_subprocess(log_dir: str, table_dir: str, cores: int,
-                           batch_size: int, write_mode: str = "cow") -> dict:
+                           batch_size: int, write_mode: str = "cow",
+                           extra_args: list[str] | None = None,
+                           n_buckets: int = 64) -> dict:
     """Run the replay CLI in a fresh process pinned to local[cores].
 
     ``taskset -c 0..cores-1`` pins the WHOLE JVM (task threads, GC, codec
@@ -231,10 +245,11 @@ def _run_replay_subprocess(log_dir: str, table_dir: str, cores: int,
         sys.executable, "-m", "etl_spark.cdc.runner",
         "--events", log_dir, "--table", table_dir,
         "--batch-size", str(batch_size),
-        "--n-buckets", "64",
+        "--n-buckets", str(n_buckets),
         "--master", f"local[{cores}]",
         "--warmup",
-    ] + (["--write-mode", write_mode] if write_mode != "cow" else [])
+    ] + (["--write-mode", write_mode] if write_mode != "cow" else []) \
+      + (extra_args or [])
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
     if out.returncode != 0:
@@ -387,6 +402,152 @@ def run_scaling(pairs: list[tuple[int, int]], n_events: int, repeats: int = 3) -
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# skewed / sparse-update mode: zipf-hot repos, updates concentrated in a
+# small key working set — the workload where file-level CoW and the
+# chain-length compaction policy actually differ (the uniform headline
+# log touches every file every batch, so they can't show there)
+# --------------------------------------------------------------------------
+
+def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
+               levels=(2, 8)) -> dict:
+    """Pre-materialize a zipf-skewed base table once (insert-only load +
+    compact into ~8 key-contiguous files per bucket), then replay a
+    SPARSE update log (U/D concentrated in a 1%-of-keys working set) on
+    a fresh COPY of the base per run, single-shot pinned subprocesses at
+    each parallelism level x write mode. Reports wall, events/sec, and
+    the write-amplification aggregates (bytes/files written vs carried)
+    — cow is file-level CoW, delta is merge-on-read winners-only,
+    delta_chain3 adds the chain-length compaction policy."""
+    from etl_spark.cdc.gen import GenConfig, write_events
+    from etl_spark.cdc.lake import SnapshotTable
+    from etl_spark.cdc.maintain import compact
+    from etl_spark.cdc.runner import read_event_log, replay
+    from etl_spark.session import get_spark
+
+    n_keys = n_base  # ~63% distinct after collisions; every event an insert
+    focus = max(n_keys // 100, 1)
+    n_buckets = 64
+    work = tempfile.mkdtemp(prefix="bench_skew_", dir=_workroot())
+    spark = get_spark("bench-skew-gen", master=f"local[{CPUS}]")
+    try:
+        base_log = os.path.join(work, "base_log")
+        upd_log = os.path.join(work, "upd_log")
+        write_events(
+            spark,
+            GenConfig(n_events=n_base, n_keys=n_keys, n_repos=400,
+                      zipf_s=1.1, p_insert=1.0, p_update=0.0,
+                      max_content_reps=16, seed=17),
+            base_log, n_files=64,
+        )
+        write_events(
+            spark,
+            GenConfig(n_events=n_updates, n_keys=n_keys, n_repos=400,
+                      zipf_s=1.1, p_insert=0.1, p_update=0.7,
+                      update_focus_keys=focus, base_lsn=n_base,
+                      max_content_reps=16, seed=17),
+            upd_log, n_files=64,
+        )
+        base = SnapshotTable(spark, os.path.join(work, "base"),
+                             n_buckets=n_buckets)
+        replay(spark, read_event_log(spark, base_log), base,
+               batch_size=n_base)
+        base_rows = base.read().count()
+        # key-contiguous multi-file layout: the file groups file-level
+        # CoW prunes against
+        compact(spark, base, max_files_per_bucket=0,
+                target_file_rows=max(base_rows // n_buckets // 8, 1))
+        spark.stop()  # gen JVM down before any timed run
+
+        runs = []
+        for cores in sorted(levels):
+            for mode, wm, extra in (
+                ("cow", "cow", None),
+                ("delta", "delta", None),
+                ("delta_chain3", "delta", ["--compact-chain-len", "3"]),
+            ):
+                probe = _host_probe()
+                tdir = os.path.join(work, f"t_{mode}_{cores}")
+                shutil.copytree(base.root, tdir)
+                res = _run_replay_subprocess(
+                    upd_log, tdir, cores,
+                    batch_size=max(n_updates // 4, 1),
+                    write_mode=wm, extra_args=extra, n_buckets=n_buckets)
+                runs.append({
+                    "mode": mode, "cores": cores,
+                    "eps": res["events_per_sec"], "secs": res["secs"],
+                    "bytes_written": res["bytes_written"],
+                    "rows_out": res["rows_out"],
+                    "files_rewritten": res["files_rewritten"],
+                    "files_carried": res["files_carried"],
+                    "probe_mops8": probe,
+                })
+        # state equivalence across modes at the largest level
+        spark = get_spark("bench-skew-hash", master=f"local[{CPUS}]")
+        big = max(levels)
+        hashes = {
+            mode: _table_state_hash(
+                spark, os.path.join(work, f"t_{mode}_{big}"))
+            for mode in ("cow", "delta", "delta_chain3")
+        }
+        out = {
+            "n_base_events": n_base,
+            "n_update_events": n_updates,
+            "update_focus_keys": focus,
+            "zipf_s": 1.1,
+            "n_buckets": n_buckets,
+            "base_rows": base_rows,
+            "runs": runs,
+            "state_match": len(set(hashes.values())) == 1,
+            "state_hashes": hashes,
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/skewed.json", "w") as f:
+            json.dump(out, f, indent=1)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _skewed_md_section() -> str:
+    """Render the skewed-workload table from measured BENCH/skewed.json
+    (written by --skewed); omitted until measured."""
+    try:
+        with open("BENCH/skewed.json") as f:
+            r = json.load(f)
+    except (OSError, ValueError):
+        return ""
+    rows = "\n".join(
+        f"| {x['mode']} | {x['cores']} | {x['eps']:,.0f} | {x['secs']} | "
+        f"{x['bytes_written'] / 1e6:,.1f} | {x['rows_out']:,} | "
+        f"{x['files_rewritten']} | {x['files_carried']} | {x['probe_mops8']} |"
+        for x in r["runs"]
+    )
+    return f"""## Skewed / sparse-update workload (zipf repos, 1%-of-keys working set)
+
+Base table: {r['base_rows']:,} rows from {r['n_base_events']:,} zipf({r['zipf_s']})
+insert events, compacted into ~8 key-contiguous files per bucket
+({r['n_buckets']} buckets). Then {r['n_update_events']:,} update events whose
+U/D target only a {r['update_focus_keys']:,}-key working set replay onto a
+fresh copy of the base per run (single-shot pinned subprocess per cell,
+host probe recorded — see the rejected-sessions note on why single-shot
+same-window cells, not cross-session medians).
+
+| mode | cores | events/s | secs | MB written | rows written | files written | files carried | probe |
+|---|---|---|---|---|---|---|---|---|
+{rows}
+
+Reading it: `cow` is FILE-LEVEL CoW — it rewrites only the files whose
+key range intersects the batch (carried files are referenced, not
+copied), so its written bytes sit far below a whole-bucket rewrite of
+the same table; `delta` writes winners only (O(batch)) and defers the
+rewrite to compaction; `delta_chain3` bounds read amplification at
+chain length 3 by folding hot buckets as they exceed it (the folds'
+bytes are included). Final state hash identical across all three modes
+at {max(x['cores'] for x in r['runs'])} cores: **{r['state_match']}**.
+"""
 
 
 def _scaling_verdict_prose(res: dict) -> str:
@@ -883,6 +1044,7 @@ from host contention.
 
 {_code_delta_md_section(res)}
 {_mor_md_section(res)}
+{_skewed_md_section()}
 {_rejected_md_section(res)}
 
 Determinism under parallelism: final table state hash identical across
@@ -910,8 +1072,24 @@ def main() -> None:
                     help="N vs 4N pinned executor JVMs via spark-submit "
                          "(standalone cluster) -> BENCH/standalone.json + "
                          "BENCH/BASELINE.md refresh")
+    ap.add_argument("--skewed", action="store_true",
+                    help="zipf-hot-repo + sparse-update workload: cow "
+                         "(file-level) vs delta vs chain-policy at two "
+                         "parallelism levels -> BENCH/skewed.json + "
+                         "BENCH/BASELINE.md refresh")
     args = ap.parse_args()
-    if args.scaling_exec:
+    if args.skewed:
+        res = run_skewed(
+            int(os.environ.get("SPARK_GRAFT_SKEW_BASE", "1000000")),
+            int(os.environ.get("SPARK_GRAFT_SKEW_UPDATES", "400000")),
+        )
+        try:  # refresh BASELINE.md's skewed section from the new data
+            with open("BENCH/scaling.json") as f:
+                write_scaling_md(json.load(f))
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(res))
+    elif args.scaling_exec:
         res = run_scaling_exec(
             int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000")),
             repeats=int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3")),

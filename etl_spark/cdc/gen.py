@@ -53,6 +53,21 @@ class GenConfig:
     # dynamic columns carry values in `extra` once added; prob a data event
     # after the add carries a value for the column:
     extra_value_rate: float = 0.6
+    # --- skewed / sparse-update workload knobs (all off by default; the
+    # legacy hot_frac/hot_keys single-hot-repo path is untouched when so)
+    # zipf_s > 0: repo popularity follows a Zipf(s) law over n_repos
+    # (rank-1 repo hottest), keys spread uniformly WITHIN each repo —
+    # the hot-repo long-tail shape real VCS traffic has, which stresses
+    # bucket salting and skew-adaptive compaction:
+    zipf_s: float = 0.0
+    # update_focus_keys > 0: U/D events target ONLY the first N keys of
+    # the keyspace (the hot working set), while inserts still spread over
+    # all n_keys — the sparse-update regime where file-level CoW should
+    # rewrite O(working set) files, not O(table):
+    update_focus_keys: int = 0
+    # base lsn offset: generated lsns are base_lsn+1 .. base_lsn+n_events
+    # (continue a log after a pre-materialized base load):
+    base_lsn: int = 0
 
 
 def _u(col, seed: int, tag: str):
@@ -67,37 +82,80 @@ def generate_events(spark: SparkSession, cfg: GenConfig) -> DataFrame:
     Entirely JVM-side (range + hash expressions): deterministic under any
     partitioning, embarrassingly parallel, no Python serialization.
     """
-    df = spark.range(1, cfg.n_events + 1).withColumnRenamed("id", "lsn")
+    df = spark.range(
+        cfg.base_lsn + 1, cfg.base_lsn + cfg.n_events + 1
+    ).withColumnRenamed("id", "lsn")
     lsn = F.col("lsn")
 
-    # --- key selection with hot-repo skew (FIXTURES.md §1: ~30% one repo)
-    is_hot = _u(lsn, cfg.seed, "hot") < cfg.hot_frac
-    hot_key = F.pmod(F.xxhash64(F.lit(cfg.seed), F.lit("hk"), lsn), F.lit(cfg.hot_keys))
-    cold_span = max(cfg.n_keys - cfg.hot_keys, 1)
-    cold_key = cfg.hot_keys + F.pmod(
-        F.xxhash64(F.lit(cfg.seed), F.lit("ck"), lsn), F.lit(cold_span)
+    # --- op mix (chosen before the key so update_focus_keys can remap)
+    r_op = _u(lsn, cfg.seed, "op")
+    op = (
+        F.when(r_op < cfg.p_insert, F.lit("I"))
+        .when(r_op < cfg.p_insert + cfg.p_update, F.lit("U"))
+        .otherwise(F.lit("D"))
     )
-    key_idx = F.when(is_hot, hot_key).otherwise(cold_key).cast("long")
 
-    # key -> (repo, path): hot keys live in repo org0/hot, cold keys spread
-    repo_idx = F.when(
-        key_idx < cfg.hot_keys, F.lit(0)
-    ).otherwise(1 + F.pmod(F.xxhash64(F.lit(cfg.seed), F.lit("r"), key_idx), F.lit(max(cfg.n_repos - 1, 1))))
+    if cfg.zipf_s > 0:
+        # Zipf(s) repo popularity via inverse-CDF lookup: the CDF over
+        # n_repos is a Python-computed literal array; per row, the repo
+        # rank = how many CDF entries fall below u (an O(n_repos)
+        # F.aggregate over the literal array — pure JVM codegen, no
+        # Python in the hot path). Keys spread uniformly WITHIN a repo,
+        # so hot repos get proportionally more events per key too.
+        w = [1.0 / (r + 1) ** cfg.zipf_s for r in range(cfg.n_repos)]
+        tot = sum(w)
+        acc, cdf = 0.0, []
+        for x in w:
+            acc += x
+            cdf.append(acc / tot)
+        u = _u(lsn, cfg.seed, "zr")
+        rank = F.aggregate(
+            F.array(*[F.lit(c) for c in cdf[:-1]]),  # last entry = 1.0
+            F.lit(0),
+            lambda a, c: a + F.when(u >= c, 1).otherwise(0),
+        ).cast("long")
+        keys_per_repo = max(cfg.n_keys // cfg.n_repos, 1)
+        key_idx = rank * keys_per_repo + F.pmod(
+            F.xxhash64(F.lit(cfg.seed), F.lit("zk"), lsn), F.lit(keys_per_repo)
+        )
+        repo_of = (F.col("_k") / keys_per_repo).cast("long")
+    else:
+        # legacy single-hot-repo skew (FIXTURES.md §1: ~30% one repo)
+        is_hot = _u(lsn, cfg.seed, "hot") < cfg.hot_frac
+        hot_key = F.pmod(F.xxhash64(F.lit(cfg.seed), F.lit("hk"), lsn), F.lit(cfg.hot_keys))
+        cold_span = max(cfg.n_keys - cfg.hot_keys, 1)
+        cold_key = cfg.hot_keys + F.pmod(
+            F.xxhash64(F.lit(cfg.seed), F.lit("ck"), lsn), F.lit(cold_span)
+        )
+        key_idx = F.when(is_hot, hot_key).otherwise(cold_key).cast("long")
+        repo_of = F.when(F.col("_k") < cfg.hot_keys, F.lit(0)).otherwise(
+            1 + F.pmod(
+                F.xxhash64(F.lit(cfg.seed), F.lit("r"), F.col("_k")),
+                F.lit(max(cfg.n_repos - 1, 1)),
+            )
+        )
+
+    if cfg.update_focus_keys > 0:
+        # sparse-update regime: U/D target only the hot working set (the
+        # first N keys); inserts keep spreading over the full keyspace
+        focus = F.pmod(
+            F.xxhash64(F.lit(cfg.seed), F.lit("uf"), lsn),
+            F.lit(cfg.update_focus_keys),
+        ).cast("long")
+        key_idx = F.when(op != "I", focus).otherwise(key_idx)
+
+    # key -> (repo, path), derived from the key index alone so the same
+    # key always lands in the same file whatever event produced it
+    df = df.withColumn("_k", key_idx)
+    repo_idx = repo_of
     repo = F.concat(F.lit("org"), (repo_idx % 7).cast("string"), F.lit("/repo"), repo_idx.cast("string"))
+    key_idx = F.col("_k")
     depth = F.pmod(F.xxhash64(F.lit(cfg.seed), F.lit("d"), key_idx), F.lit(4))
     path = F.concat(
         F.lit("src/"),
         F.when(depth > 0, F.concat(F.lit("pkg"), (key_idx % 13).cast("string"), F.lit("/"))).otherwise(F.lit("")),
         F.when(depth > 1, F.concat(F.lit("mod"), (key_idx % 5).cast("string"), F.lit("/"))).otherwise(F.lit("")),
         F.lit("file_"), key_idx.cast("string"), F.lit(".txt"),
-    )
-
-    # --- op mix
-    r_op = _u(lsn, cfg.seed, "op")
-    op = (
-        F.when(r_op < cfg.p_insert, F.lit("I"))
-        .when(r_op < cfg.p_insert + cfg.p_update, F.lit("U"))
-        .otherwise(F.lit("D"))
     )
 
     # --- payload

@@ -475,6 +475,13 @@ class SnapshotTable:
                     refs_by_id[(int(b), i)] = r
         cold: dict[str, list[list]] = {}
         n_hit_pruned = 0
+        # ETL_SPARK_FILELEVEL=0 disables the pruning probe (ops knob for
+        # workloads known to touch every file every batch, where the one
+        # extra slim job per batch buys nothing)
+        if cand and os.environ.get("ETL_SPARK_FILELEVEL", "1") == "0":
+            for ref in refs_by_id.values():
+                plain_paths.append(os.path.join(self.root, ref[0]))
+            cand = []
         if cand:
             from .dedup import bucket_expr
 

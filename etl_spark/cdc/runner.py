@@ -321,6 +321,11 @@ def main(argv: list[str] | None = None) -> None:
                 "events_per_sec": round(total / secs, 1) if secs else 0.0,
                 "final_version": table.version(),
                 "final_lsn": table.last_lsn(),
+                # write-amplification aggregates (file-level CoW evidence)
+                "bytes_written": sum(bm.bytes_written for bm in metrics),
+                "rows_out": sum(bm.rows_out for bm in metrics),
+                "files_rewritten": sum(bm.files_rewritten for bm in metrics),
+                "files_carried": sum(bm.files_carried for bm in metrics),
             }
         )
     )
