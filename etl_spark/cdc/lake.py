@@ -506,6 +506,50 @@ class SnapshotTable:
                 .distinct()
                 .collect()
             }
+            # ETL_SPARK_FILELEVEL=2 adds a KEY-MEMBERSHIP stage over the
+            # range hits: a range hit only proves a batch key falls in
+            # the file's (repo,path) interval — a pure INSERT whose new
+            # key lands inside the interval range-hits the file without
+            # matching any row in it. Reading just the two key columns
+            # of the hit files (columnar projection, ~1-2% of file
+            # bytes) and semi-joining the batch keys exonerates such
+            # files: they carry by reference and the inserts land in
+            # the commit's new files instead of forcing a rewrite. This
+            # is what keeps file-level CoW effective under insert
+            # fan-out, where every scattered new key is a random dart
+            # into some file's range. Soundness: a carried file provably
+            # contains NO batch key, so no row in it can be superseded
+            # or deleted by this batch. Opt-in (default stays the
+            # metadata-only range probe): the extra scan only pays for
+            # itself when some hit files get exonerated.
+            if hit_ids and os.environ.get(
+                    "ETL_SPARK_FILELEVEL", "1") == "2":
+                hit_paths = {
+                    os.path.join(self.root, refs_by_id[hid][0]): hid
+                    for hid in hit_ids
+                }
+                scan = (
+                    self.spark.read.schema(schema)
+                    .parquet(*hit_paths)
+                    .select(
+                        "repo", "path",
+                        F.input_file_name().alias("_f"),
+                    )
+                )
+                matched_uris = [
+                    r["_f"]
+                    for r in scan.join(
+                        keys_df.select("repo", "path"),
+                        ["repo", "path"], "semi",
+                    ).select("_f").distinct().collect()
+                ]
+                matched_ids = set()
+                for uri in matched_uris:
+                    for p, hid in hit_paths.items():
+                        if uri.endswith(p):
+                            matched_ids.add(hid)
+                            break
+                hit_ids = matched_ids
             for (b, i), ref in refs_by_id.items():
                 if (b, i) in hit_ids:
                     plain_paths.append(os.path.join(self.root, ref[0]))

@@ -164,3 +164,66 @@ def test_filelevel_changelog_and_second_merge(spark, tmp_path):
     assert bucket_file_stats(t) == {0: 1}
     res = audit_table(spark, t)
     assert res["ok"], res
+
+
+def test_membership_probe_carries_insert_fanout(spark, tmp_path, monkeypatch):
+    """ETL_SPARK_FILELEVEL=2: a pure-INSERT batch whose new keys land
+    INSIDE existing files' (repo,path) ranges range-hits those files but
+    matches no row in them — the key-membership stage exonerates the
+    files (carried by reference; inserts land in the commit's new file),
+    where the default range probe would rewrite every range-hit file.
+    State stays sequential-replay-exact and the audit holds."""
+    n = 800
+    base = _events(
+        spark,
+        [
+            # even-numbered paths only: odd paths are in-range gaps for
+            # the insert batch to land in
+            (i + 1, "I", "r", f"p{2 * i:04d}", f"c{i}", "py", f"body {i}",
+             "2024-01-01 00:00:00", None, None)
+            for i in range(n)
+        ],
+    )
+    t = SnapshotTable(spark, str(tmp_path / "lake"), n_buckets=1)
+    replay(spark, base, t, batch_size=n)
+    compact(spark, t, target_file_rows=100, max_files_per_bucket=0)
+    refs0 = t.manifest()["files"]["0"]["base"]
+    m_files = len(refs0)
+    assert m_files >= 6
+
+    # 4 inserts at odd paths spread across the table: each is a random
+    # dart inside some file's range, none matches an existing row
+    ins = _events(
+        spark,
+        [
+            (n + 100 + j, "I", "r", f"p{k:04d}", "cz", "py", "fresh",
+             "2024-01-02 00:00:00", None, None)
+            for j, k in enumerate((11, 411, 811, 1211))
+        ],
+    )
+
+    monkeypatch.setenv("ETL_SPARK_FILELEVEL", "2")
+    ms = replay(spark, ins, t, batch_size=10)
+    m = ms[0]
+    # every pre-existing file exonerated: carried, not rewritten
+    assert m.files_carried == m_files, m.to_dict()
+    assert m.rows_out == 4, m.to_dict()
+
+    want = {("r", f"p{2 * i:04d}"): (f"body {i}", i + 1) for i in range(n)}
+    for j, k in enumerate((11, 411, 811, 1211)):
+        want[("r", f"p{k:04d}")] = ("fresh", n + 100 + j)
+    assert _state(t) == want
+
+    # a follow-up UPDATE batch under the membership probe still rewrites
+    # the file that really holds the key (and only that one)
+    upd = _events(
+        spark,
+        [(n + 200, "U", "r", "p0020", "cu", "py", "v2",
+          "2024-01-03 00:00:00", None, None)],
+    )
+    ms2 = replay(spark, upd, t, batch_size=10)
+    assert ms2[0].files_rewritten <= 2, ms2[0].to_dict()
+    assert _state(t)[("r", "p0020")] == ("v2", n + 200)
+
+    res = audit_table(spark, t)
+    assert res["ok"], res
