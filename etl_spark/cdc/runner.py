@@ -70,6 +70,7 @@ def replay(
     write_mode: str = "cow",
     compact_every: int | None = None,
     compact_chain_len: int | None = None,
+    compaction_log: list | None = None,
 ) -> list[BatchMetrics]:
     """Replay the whole log (or the next ``max_batches``) into the table.
 
@@ -185,6 +186,8 @@ def replay(
                 from .maintain import compact
 
                 cm = compact(spark, table)
+                if compaction_log is not None and cm.get("buckets_touched"):
+                    compaction_log.append(cm)
                 if log and cm.get("buckets_touched"):
                     print(json.dumps(cm), file=sys.stderr)
             elif compact_chain_len is not None:
@@ -197,6 +200,8 @@ def replay(
                     cm = compact(spark, table,
                                  max_files_per_bucket=1 << 30,
                                  max_chain_len=compact_chain_len)
+                    if compaction_log is not None and cm.get("buckets_touched"):
+                        compaction_log.append(cm)
                     if log and cm.get("buckets_touched"):
                         print(json.dumps(cm), file=sys.stderr)
             cursor = table.last_lsn()
@@ -292,6 +297,7 @@ def main(argv: list[str] | None = None) -> None:
     import time as _time
 
     t0 = _time.time()
+    compactions: list[dict] = []
     metrics = replay(
         spark,
         read_event_log(spark, args.events),
@@ -309,6 +315,7 @@ def main(argv: list[str] | None = None) -> None:
         write_mode=args.write_mode,
         compact_every=args.compact_every,
         compact_chain_len=args.compact_chain_len,
+        compaction_log=compactions,
     )
     secs = _time.time() - t0
     total = sum(bm.events_seen for bm in metrics)
@@ -321,11 +328,24 @@ def main(argv: list[str] | None = None) -> None:
                 "events_per_sec": round(total / secs, 1) if secs else 0.0,
                 "final_version": table.version(),
                 "final_lsn": table.last_lsn(),
-                # write-amplification aggregates (file-level CoW evidence)
-                "bytes_written": sum(bm.bytes_written for bm in metrics),
+                # write-amplification aggregates (file-level CoW evidence);
+                # inline compaction folds (merge-on-read chain policy)
+                # count toward bytes/files written — deferring the rewrite
+                # must not hide it from the amplification accounting
+                "bytes_written": sum(bm.bytes_written for bm in metrics)
+                + sum(int(c.get("bytes_written", 0)) for c in compactions),
                 "rows_out": sum(bm.rows_out for bm in metrics),
-                "files_rewritten": sum(bm.files_rewritten for bm in metrics),
+                "files_rewritten": sum(bm.files_rewritten for bm in metrics)
+                + sum(int(c.get("files_written", 0)) for c in compactions),
                 "files_carried": sum(bm.files_carried for bm in metrics),
+                "compactions": len(compactions),
+                # per-phase wall aggregated across batches: lets a caller
+                # comparing topologies (local[N] vs N-executor standalone)
+                # attribute a throughput gap to a specific engine phase
+                "phase_secs": {
+                    p: round(sum(bm.phase_secs.get(p, 0.0) for bm in metrics), 3)
+                    for p in sorted({k for bm in metrics for k in bm.phase_secs})
+                },
             }
         )
     )
