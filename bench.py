@@ -520,6 +520,131 @@ def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_append(n_base: int = 400_000, n_appends: int = 160_000,
+               cores: int = 8) -> dict:
+    """Append-only ingest demo for the key-MEMBERSHIP pruning stage
+    (ETL_SPARK_FILELEVEL=2): a base table of keys [0, K), then an
+    insert-only log over the DISJOINT keyspace [K, 2K) whose derived
+    paths interleave LEXICOGRAPHICALLY into the base files' (repo,path)
+    ranges — every insert is a random dart inside some file's range, so
+    the metadata-only range probe must rewrite ~every file, while the
+    membership probe (which reads just the two key columns and
+    semi-joins the batch keys) proves no row matches and carries
+    everything. Byte/row/file metrics are deterministic, so this
+    evidence is valid regardless of host weather; single level — write
+    amplification does not depend on core count."""
+    from etl_spark.cdc.gen import GenConfig, write_events
+    from etl_spark.cdc.lake import SnapshotTable
+    from etl_spark.cdc.maintain import compact
+    from etl_spark.cdc.runner import read_event_log, replay
+    from etl_spark.session import get_spark
+
+    n_buckets = 64
+    work = tempfile.mkdtemp(prefix="bench_append_", dir=_workroot())
+    spark = get_spark("bench-append-gen", master=f"local[{CPUS}]")
+    try:
+        base_log = os.path.join(work, "base_log")
+        app_log = os.path.join(work, "app_log")
+        write_events(
+            spark,
+            GenConfig(n_events=n_base, n_keys=n_base, n_repos=200,
+                      hot_frac=0.0, p_insert=1.0, p_update=0.0,
+                      max_content_reps=16, seed=29),
+            base_log, n_files=64,
+        )
+        write_events(
+            spark,
+            GenConfig(n_events=n_appends, n_keys=n_base, n_repos=200,
+                      hot_frac=0.0, p_insert=1.0, p_update=0.0,
+                      key_offset=n_base, base_lsn=n_base,
+                      max_content_reps=16, seed=29),
+            app_log, n_files=64,
+        )
+        base = SnapshotTable(spark, os.path.join(work, "base"),
+                             n_buckets=n_buckets)
+        replay(spark, read_event_log(spark, base_log), base,
+               batch_size=n_base)
+        base_rows = base.read().count()
+        compact(spark, base, max_files_per_bucket=0,
+                target_file_rows=max(base_rows // n_buckets // 24, 1))
+        spark.stop()
+
+        runs = []
+        for mode, lvl in (("cow_range", "1"), ("cow_member", "2")):
+            probe = _host_probe()
+            tdir = os.path.join(work, f"t_{mode}")
+            shutil.copytree(base.root, tdir)
+            res = _run_replay_subprocess(
+                app_log, tdir, cores,
+                batch_size=max(n_appends // 4, 1),
+                n_buckets=n_buckets,
+                env_extra={"ETL_SPARK_FILELEVEL": lvl})
+            runs.append({
+                "mode": mode, "cores": cores,
+                "eps": res["events_per_sec"], "secs": res["secs"],
+                "bytes_written": res["bytes_written"],
+                "rows_out": res["rows_out"],
+                "files_rewritten": res["files_rewritten"],
+                "files_carried": res["files_carried"],
+                "probe_mops8": probe,
+            })
+        spark = get_spark("bench-append-hash", master=f"local[{CPUS}]")
+        hashes = {
+            mode: _table_state_hash(spark, os.path.join(work, f"t_{mode}"))
+            for mode, _ in (("cow_range", 1), ("cow_member", 2))
+        }
+        out = {
+            "n_base_events": n_base,
+            "n_append_events": n_appends,
+            "n_buckets": n_buckets,
+            "base_rows": base_rows,
+            "runs": runs,
+            "state_match": len(set(hashes.values())) == 1,
+            "state_hashes": hashes,
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/append.json", "w") as f:
+            json.dump(out, f, indent=1)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _append_md_section() -> str:
+    """Render the append-only membership-probe table from
+    BENCH/append.json (written by --append); omitted until measured."""
+    try:
+        with open("BENCH/append.json") as f:
+            r = json.load(f)
+    except (OSError, ValueError):
+        return ""
+    rows = "\n".join(
+        f"| {x['mode']} | {x['cores']} | {x['eps']:,.0f} | {x['secs']} | "
+        f"{x['bytes_written'] / 1e6:,.1f} | {x['rows_out']:,} | "
+        f"{x['files_rewritten']} | {x['files_carried']} | {x['probe_mops8']} |"
+        for x in r["runs"]
+    )
+    return f"""## Append-only ingest (membership pruning vs range pruning)
+
+Base table: {r['base_rows']:,} rows over keys [0,K); then
+{r['n_append_events']:,} insert-only events over the DISJOINT keyspace
+[K,2K) whose paths interleave lexicographically into the base files'
+(repo,path) ranges — every insert is a random dart inside some file's
+range, the adversarial workload for range-pruned copy-on-write.
+
+| mode | cores | events/s | secs | MB written | rows written | files written | files carried | probe |
+|---|---|---|---|---|---|---|---|---|
+{rows}
+
+`cow_range` (ETL_SPARK_FILELEVEL=1, the default) prunes on per-file
+key-range metadata only: the darts force it to rewrite ~every file.
+`cow_member` (=2) additionally reads the hit files' two key columns and
+semi-joins the batch keys: no row matches, every file carries by
+reference, and write cost drops to O(batch). Final state hash identical
+across both modes: **{r['state_match']}**.
+"""
+
+
 def _skewed_md_section() -> str:
     """Render the skewed-workload table from measured BENCH/skewed.json
     (written by --skewed); omitted until measured."""
@@ -1188,6 +1313,7 @@ from host contention.
 {_code_delta_md_section(res)}
 {_mor_md_section(res)}
 {_skewed_md_section()}
+{_append_md_section()}
 {_rejected_md_section(res)}
 
 Determinism under parallelism: final table state hash identical across
@@ -1222,12 +1348,27 @@ def main() -> None:
                          "(file-level) vs delta vs chain-policy at two "
                          "parallelism levels -> BENCH/skewed.json + "
                          "BENCH/BASELINE.md refresh")
+    ap.add_argument("--append", action="store_true",
+                    help="append-only ingest: membership (FILELEVEL=2) vs "
+                         "range (=1) file pruning under insert fan-out -> "
+                         "BENCH/append.json + BENCH/BASELINE.md refresh")
     ap.add_argument("--topology", action="store_true",
                     help="constant-8-core topology ladder: local[8] vs "
                          "1x8 / 2x4 / 4x2 standalone executors -> "
                          "BENCH/topology.json + BENCH/BASELINE.md refresh")
     args = ap.parse_args()
-    if args.topology:
+    if args.append:
+        res = run_append(
+            int(os.environ.get("SPARK_GRAFT_APPEND_BASE", "400000")),
+            int(os.environ.get("SPARK_GRAFT_APPEND_EVENTS", "160000")),
+        )
+        try:  # refresh BASELINE.md's append section from the new data
+            with open("BENCH/scaling.json") as f:
+                write_scaling_md(json.load(f))
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(res))
+    elif args.topology:
         res = run_topology(
             int(os.environ.get("SPARK_GRAFT_TOPO_EVENTS", "4000000")),
         )

@@ -68,6 +68,14 @@ class GenConfig:
     # base lsn offset: generated lsns are base_lsn+1 .. base_lsn+n_events
     # (continue a log after a pre-materialized base load):
     base_lsn: int = 0
+    # key index offset: keys draw from [key_offset, key_offset+n_keys)
+    # instead of [0, n_keys) — lets a follow-up log target a keyspace
+    # DISJOINT from a pre-materialized base (append-only ingest: every
+    # event a genuinely new key, no upsert collisions). The derived
+    # paths still interleave lexicographically with the base's
+    # (file_<k>.txt string order), which is what makes this the
+    # adversarial workload for range-pruned CoW:
+    key_offset: int = 0
 
 
 def _u(col, seed: int, tag: str):
@@ -143,6 +151,12 @@ def generate_events(spark: SparkSession, cfg: GenConfig) -> DataFrame:
             F.lit(cfg.update_focus_keys),
         ).cast("long")
         key_idx = F.when(op != "I", focus).otherwise(key_idx)
+
+    if cfg.key_offset:
+        # shift the whole keyspace: meant for legacy mode with
+        # hot_frac=0 (zipf's rank->repo map and the hot-repo threshold
+        # both assume a zero-based key index)
+        key_idx = key_idx + F.lit(cfg.key_offset)
 
     # key -> (repo, path), derived from the key index alone so the same
     # key always lands in the same file whatever event produced it

@@ -91,5 +91,32 @@ def test_zipf_sparse_update_replay_matches_oracle(spark, tmp_path):
     assert_table_matches_oracle(t.read().collect(), state, dyn)
 
 
+def test_key_offset_disjoint_keyspace(spark):
+    """key_offset shifts the whole keyspace: an offset log shares NO
+    (repo,path) key with the base log, and the derived paths interleave
+    lexicographically (the append-ingest bench's adversarial property)."""
+    base_cfg = GenConfig(n_events=400, n_keys=400, n_repos=20,
+                         hot_frac=0.0, p_insert=1.0, p_update=0.0, seed=5)
+    app_cfg = GenConfig(n_events=200, n_keys=400, n_repos=20,
+                        hot_frac=0.0, p_insert=1.0, p_update=0.0,
+                        key_offset=400, base_lsn=400, seed=5)
+    base_keys = {
+        (r["repo"], r["path"])
+        for r in generate_events(spark, base_cfg)
+        .select("repo", "path").distinct().collect()
+    }
+    app_keys = {
+        (r["repo"], r["path"])
+        for r in generate_events(spark, app_cfg)
+        .select("repo", "path").distinct().collect()
+    }
+    assert base_keys and app_keys
+    assert not (base_keys & app_keys)
+    # lexicographic interleave: some offset path sorts strictly inside
+    # the base paths' span (so range stats cannot exclude it)
+    lo, hi = min(base_keys), max(base_keys)
+    assert any(lo < k < hi for k in app_keys)
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
