@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -250,6 +251,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="per-bucket compaction policy: after each batch, "
                          "fold only buckets whose delta chain exceeds N dirs "
                          "(hot buckets compact often, cold ones never)")
+    ap.add_argument("--file-pruning", choices=["off", "range", "member"],
+                    default=None,
+                    help="CoW file-level pruning: range (default) skips "
+                         "files whose (repo,path) key range cannot contain "
+                         "a batch key; member additionally reads the hit "
+                         "files' key columns and carries files holding no "
+                         "actual batch key (append-heavy ingest); off "
+                         "rewrites touched buckets whole")
     ap.add_argument("--no-pipeline", action="store_true",
                     help="disable the prepare(b+1)-under-write(b) pipeline "
                          "(debugging; the default overlaps batches)")
@@ -289,6 +298,12 @@ def main(argv: list[str] | None = None) -> None:
         replay(spark,
                generate_events(spark, GenConfig(n_events=500_000, n_keys=60_000)),
                wtab, batch_size=250_000)
+    if args.file_pruning is not None:
+        # the lake reads the knob from the environment so that every
+        # code path (merge, delete, scd2) sees one consistent setting
+        os.environ["ETL_SPARK_FILELEVEL"] = (
+            {"off": "0", "range": "1", "member": "2"}[args.file_pruning]
+        )
     table = SnapshotTable(spark, args.table, n_buckets=args.n_buckets)
     # wall-clock around the whole loop: with pipelined prepares the
     # per-batch walls overlap, so summing them would double-count (and
