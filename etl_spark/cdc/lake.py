@@ -31,10 +31,27 @@ table layer hand-builds the Iceberg properties the engine needs:
   the pure CoW layout, after which reads take the plain-scan fast path
   again. Final state is byte-identical to CoW replay (tests/test_delta).
 
+- **Sharded manifests** (the Iceberg manifest-list / manifest-file
+  split): per-file refs for a bucket live in an immutable,
+  content-addressed SHARD file; the per-version manifest stores one
+  tiny pointer per bucket. A commit writes shards only for buckets
+  whose entry CHANGED and carries the rest as pointers, so commit
+  metadata cost is O(touched buckets' files), never O(live files) —
+  at 10^10-event scale (10^5-10^6 live files) a whole-manifest JSON
+  rewrite per commit would be tens-to-hundreds of driver-side MB per
+  batch, the classic metadata bottleneck manifest lists exist for.
+  Content addressing makes carry detection trivial (same entry ->
+  same shard file, byte-identical, never rewritten) and de-duplicates
+  across versions: rollback and time travel reference old shards for
+  free. ``manifest()`` returns the RESOLVED form (entries inline,
+  shards parsed once per session via an immutable cache), so every
+  consumer reads one uniform shape.
+
 Layout:
     root/
       data/v{N}/_bucket={b}/part-*.parquet
-      manifests/v{N}.json
+      manifests/v{N}.json            (pointer map: bucket -> shard)
+      manifests/shards/{sha1}.json   (immutable per-bucket file refs)
       metrics/batch-*.json        (per-batch metrics + lineage, append-only)
       _LATEST                     (atomic pointer: the committed version)
 
@@ -74,8 +91,10 @@ def _entry_parts(entry) -> tuple[list[list], list[list], list[str]]:
     ``(plain_refs, head_refs, tail_dirs)``.
 
     A *ref* is ``[relpath, rows, lo_repo, lo_path, hi_repo, hi_path]``
-    (``rows``/bounds may be None when unknown; a ref without bounds is
-    always treated as possibly containing any key). Three stored forms:
+    plus an optional 7th element — the key-membership bloom
+    ``{"m", "k", "b"}`` stamped by build_file_blooms (``rows``/bounds
+    may be None when unknown; a ref without bounds/bloom is always
+    treated as possibly containing any key). Three stored forms:
 
     - ``str`` — one pure-CoW base dir (legacy): one plain ref, no stats.
     - ``list[str]`` — merge-on-read dir chain: head dir + delta dirs.
@@ -216,6 +235,145 @@ def scan_written_footers(root: str, out_dir: str) -> dict[str, dict]:
     return out
 
 
+# Key-membership bloom parameters (file-level CoW, pruning level 2):
+# ~12 bits/key with 4 probes gives a ~0.6% false-positive rate — a FP
+# only costs one unnecessary file rewrite (fail-safe), while a miss is
+# impossible (blooms have no false negatives, so a carried file provably
+# holds no batch key). Files beyond BLOOM_MAX_ROWS skip the bloom (the
+# packed filter would exceed ~128 KB in its manifest shard; a bucket
+# that big should be compacted into rolled files first — and a bucket
+# with ONE big file is always hit anyway, so the bloom buys nothing).
+BLOOM_BITS_PER_KEY = 12
+BLOOM_K = 4
+BLOOM_MAX_ROWS = 80_000
+
+# bucket-dir-qualified file key: Spark part-file BASENAMES are not
+# unique across the bucket dirs of one write (same task number + job
+# UUID under two _bucket= dirs), so every bloom/pruning map is keyed by
+# the last two path segments
+_BUCKET_FILE_RE = r"(_bucket=\d+/[^/]+)$"
+
+
+def _bloom_member_sql() -> str:
+    """SQL predicate testing all BLOOM_K probe bits of ``_words``
+    (array<long>, 1-indexed) for the row's (repo, path) key against a
+    filter of ``_m`` bits. Probe i's position is
+    ``pmod(xxhash64(repo, path, i), _m)`` — k independent seeded hashes
+    rather than the classic h1 + i*h2 double-hash, because ANSI mode
+    (Spark 4 default) makes the additive form throw on long overflow.
+    MUST stay expression-for-expression identical to the build side
+    (build_file_blooms) — both run in Spark SQL so hash and truncation
+    semantics match by construction."""
+    tests = []
+    for i in range(BLOOM_K):
+        pos = f"pmod(xxhash64(repo, path, {i}), _m)"
+        tests.append(
+            f"(element_at(_words, cast({pos} / 64 as int) + 1)"
+            f" & shiftleft(1L, cast({pos} % 64 as int))) != 0"
+        )
+    return " AND ".join(tests)
+
+
+def build_file_blooms(
+    spark: SparkSession, root: str, harvest: dict,
+    eligible: set[str] | None = None,
+) -> None:
+    """Attach a per-file KEY-MEMBERSHIP bloom to every base-file ref in
+    ``harvest`` (appended as ref[6] = {"m", "k", "b"}), from ONE
+    distributed pass over the freshly written files' two key columns.
+    This is the Iceberg puffin/bloom-metadata analog that makes
+    membership pruning (ETL_SPARK_FILELEVEL=2) METADATA-ONLY at merge
+    time: the per-batch probe becomes a broadcast-join filter over the
+    batch keys instead of a read of every range-hit file's key columns
+    (which re-pays O(working-set file bytes) every batch).
+
+    Build cost is O(batch output rows) on the files just written —
+    read back from page cache immediately after the write — vs the
+    probe-time scan it replaces, which grows with the table's hit-file
+    count instead. Bloom words are built and probed by the SAME Spark
+    SQL expressions (xxhash64 double hashing, see _bloom_member_sql),
+    so build/probe can never drift.
+
+    ``eligible`` restricts the build to those buckets (by key): callers
+    skip SINGLE-file buckets — with one file per bucket the file IS the
+    bucket, so a bloom can't save a rewrite worth its build cost, and
+    skipping them makes the build FREE on whole-bucket-rewrite
+    workloads (the uniform headline replay). A skipped file simply has
+    no bloom and always counts as a hit (fail closed)."""
+    import base64
+    import struct as _struct
+
+    file_ref: dict[str, tuple[list, int]] = {}
+    paths: list[str] = []
+    for b, v in harvest.items():
+        if eligible is not None and b not in eligible:
+            continue
+        for ref in v["files"]:
+            rows = int(ref[1] or 0)
+            if rows <= 0 or rows > BLOOM_MAX_ROWS:
+                continue
+            m_bits = 1 << max(10, (rows * BLOOM_BITS_PER_KEY - 1).bit_length())
+            file_ref["/".join(ref[0].split("/")[-2:])] = (ref, m_bits)
+        if v["files"]:
+            paths.append(os.path.join(root, v["dir"]))
+    if not file_ref:
+        return
+    mdf = spark.createDataFrame(
+        sorted((fk, m) for fk, (_, m) in file_ref.items()),
+        "_fk string, _m long",
+    )
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+    ])
+    pos = F.explode(F.array(*[
+        F.pmod(
+            F.xxhash64(F.col("repo"), F.col("path"), F.lit(i)),
+            F.col("_m"),
+        )
+        for i in range(BLOOM_K)
+    ]))
+    out = (
+        spark.read.schema(schema).parquet(*paths)
+        .withColumn(
+            "_fk",
+            F.regexp_extract(F.input_file_name(), _BUCKET_FILE_RE, 1),
+        )
+        .join(F.broadcast(mdf), "_fk")
+        .select("_fk", pos.alias("_pos"))
+        # two-level fixed-width aggregate: (file, word) bit_or, then one
+        # sorted sparse word list per file — the driver collect is
+        # O(set bits / 64), bounded by O(batch keys x K / 64)
+        .groupBy("_fk", (F.col("_pos") / 64).cast("long").alias("_w"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(_pos % 64 as int)))")
+             .alias("_word"))
+        .groupBy("_fk")
+        .agg(F.sort_array(F.collect_list(F.struct("_w", "_word"))).alias("_ws"))
+        .collect()
+    )
+    for r in out:
+        ref, m_bits = file_ref[r["_fk"]]
+        words = [0] * (m_bits // 64)
+        for w in r["_ws"]:
+            words[int(w["_w"])] = int(w["_word"])
+        packed = _struct.pack(f"<{len(words)}q", *words)
+        ref.append({"m": m_bits, "k": BLOOM_K,
+                    "b": base64.b64encode(packed).decode()})
+
+
+def _bloom_words(ref: list) -> tuple[int, list[int]] | None:
+    """Decode a ref's bloom (ref[6]) to (m_bits, words); None if absent
+    — an unbloomed file always counts as a hit (fail closed)."""
+    if len(ref) < 7 or not ref[6]:
+        return None
+    import base64
+    import struct as _struct
+
+    spec = ref[6]
+    raw = base64.b64decode(spec["b"])
+    return int(spec["m"]), list(_struct.unpack(f"<{len(raw) // 8}q", raw))
+
+
 class SnapshotTable:
     def __init__(
         self,
@@ -235,6 +393,15 @@ class SnapshotTable:
         from .schema import KEY_COLS
 
         self.key_cols = list(KEY_COLS)
+        # shard resolution caches: shard files are immutable and
+        # content-addressed, so both maps are valid for the table's
+        # lifetime. _entry_ptr holds a STRONG ref to each resolved entry
+        # object so its id() can never be reused by the allocator — the
+        # identity hit is what lets a commit carry an untouched bucket's
+        # shard as a pointer without re-serializing its (potentially
+        # huge) ref list.
+        self._shard_cache: dict[str, object] = {}
+        self._entry_ptr: dict[int, tuple[object, str]] = {}
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "metrics"), exist_ok=True)
@@ -259,6 +426,27 @@ class SnapshotTable:
         except FileNotFoundError:
             return 0
 
+    def _resolve_files(self, files: dict) -> dict:
+        """Resolve shard pointers (``{"ptr": relpath}``) to their inline
+        entries, memoizing both directions — shard files are immutable,
+        so a parsed entry is valid forever. Inline (legacy) entries pass
+        through untouched. Raises FileNotFoundError when a pointed-to
+        shard was expired (callers map it to SnapshotExpiredError)."""
+        out = {}
+        for b, e in files.items():
+            if isinstance(e, dict) and "ptr" in e:
+                ptr = e["ptr"]
+                ent = self._shard_cache.get(ptr)
+                if ent is None:
+                    with open(os.path.join(self.root, "manifests", ptr)) as f:
+                        ent = json.load(f)
+                    self._shard_cache[ptr] = ent
+                    self._entry_ptr[id(ent)] = (ent, ptr)
+                out[b] = ent
+            else:
+                out[b] = e
+        return out
+
     def manifest(self) -> dict:
         v = self.version()
         if v == 0:
@@ -270,7 +458,9 @@ class SnapshotTable:
                 "n_buckets": self.n_buckets,
             }
         with open(os.path.join(self.root, "manifests", f"v{v}.json")) as f:
-            return json.load(f)
+            m = json.load(f)
+        m["files"] = self._resolve_files(m["files"])
+        return m
 
     def last_lsn(self) -> int:
         return int(self.manifest()["last_lsn"])
@@ -335,10 +525,11 @@ class SnapshotTable:
         try:
             with open(path) as f:
                 m = json.load(f)
+            m["files"] = self._resolve_files(m["files"])
         except FileNotFoundError:
             raise SnapshotExpiredError(
-                f"version {version}: manifest expired or never committed "
-                f"(latest is {self.version()})"
+                f"version {version}: manifest (or one of its shards) "
+                f"expired or never committed (latest is {self.version()})"
             ) from None
         missing = [d for d in self._bucket_dirs(m) if not os.path.exists(d)]
         if missing:
@@ -450,8 +641,10 @@ class SnapshotTable:
         get file-level entries the first time they are rewritten or
         compacted. The hit decision is one tiny Spark job: the slim
         batch key set joined to a broadcast of the candidate file
-        ranges (bucket-equality hash join + range filter) — zero jobs
-        when no candidate has stats.
+        ranges (bucket-equality hash join + range filter + key-
+        membership bloom test, all metadata carried by the broadcast —
+        no data file is ever read by the probe) — zero jobs when no
+        candidate has stats.
         """
         files = manifest["files"]
         schema = self.table_schema([tuple(c) for c in manifest["dyn_schema"]])
@@ -475,19 +668,44 @@ class SnapshotTable:
                     refs_by_id[(int(b), i)] = r
         cold: dict[str, list[list]] = {}
         n_hit_pruned = 0
+        lvl = os.environ.get("ETL_SPARK_FILELEVEL", "2")
         # ETL_SPARK_FILELEVEL=0 disables the pruning probe (ops knob for
         # workloads known to touch every file every batch, where the one
         # extra slim job per batch buys nothing)
-        if cand and os.environ.get("ETL_SPARK_FILELEVEL", "1") == "0":
+        if cand and lvl == "0":
             for ref in refs_by_id.values():
                 plain_paths.append(os.path.join(self.root, ref[0]))
             cand = []
         if cand:
             from .dedup import bucket_expr
 
+            # level 2 (default) adds the KEY-MEMBERSHIP test to the same
+            # probe job: a range hit only proves a batch key falls in the
+            # file's (repo,path) interval — a pure INSERT whose new key
+            # lands inside the interval range-hits the file without
+            # matching any row in it. The per-file bloom built at write
+            # time (build_file_blooms) exonerates such files as a
+            # broadcast-metadata filter — no data file is ever read by
+            # the probe — which is what keeps file-level CoW effective
+            # under insert fan-out, where every scattered new key is a
+            # random dart into some file's range. Soundness: blooms have
+            # no false negatives, so a carried file provably contains NO
+            # batch key; a false positive (or a ref with no bloom, which
+            # always hits — fail closed) only costs an unnecessary
+            # rewrite. Level 1 is the range-only probe for tables whose
+            # write path skipped bloom builds.
+            use_bloom = lvl == "2"
+            rows = []
+            for (b, i), r in sorted(refs_by_id.items()):
+                bw = _bloom_words(r) if use_bloom else None
+                rows.append(
+                    (b, i, r[2], r[3], r[4], r[5],
+                     bw[0] if bw else None, bw[1] if bw else None)
+                )
             rdf = self.spark.createDataFrame(
-                cand,
-                "b int, i int, lr string, lp string, hr string, hp string",
+                rows,
+                "b int, i int, lr string, lp string, hr string, hp string, "
+                "_m long, _words array<bigint>",
             )
             keys = keys_df.select(
                 "repo", "path", bucket_expr(self.n_buckets).alias("b")
@@ -498,58 +716,19 @@ class SnapshotTable:
             le_hi = (F.col("repo") < F.col("hr")) | (
                 (F.col("repo") == F.col("hr")) & (F.col("path") <= F.col("hp"))
             )
+            cond = ge_lo & le_hi
+            if use_bloom:
+                cond = cond & (
+                    F.col("_m").isNull() | F.expr(_bloom_member_sql())
+                )
             hit_ids = {
                 (r["b"], r["i"])
                 for r in keys.join(F.broadcast(rdf), ["b"])
-                .where(ge_lo & le_hi)
+                .where(cond)
                 .select("b", "i")
                 .distinct()
                 .collect()
             }
-            # ETL_SPARK_FILELEVEL=2 adds a KEY-MEMBERSHIP stage over the
-            # range hits: a range hit only proves a batch key falls in
-            # the file's (repo,path) interval — a pure INSERT whose new
-            # key lands inside the interval range-hits the file without
-            # matching any row in it. Reading just the two key columns
-            # of the hit files (columnar projection, ~1-2% of file
-            # bytes) and semi-joining the batch keys exonerates such
-            # files: they carry by reference and the inserts land in
-            # the commit's new files instead of forcing a rewrite. This
-            # is what keeps file-level CoW effective under insert
-            # fan-out, where every scattered new key is a random dart
-            # into some file's range. Soundness: a carried file provably
-            # contains NO batch key, so no row in it can be superseded
-            # or deleted by this batch. Opt-in (default stays the
-            # metadata-only range probe): the extra scan only pays for
-            # itself when some hit files get exonerated.
-            if hit_ids and os.environ.get(
-                    "ETL_SPARK_FILELEVEL", "1") == "2":
-                hit_paths = {
-                    os.path.join(self.root, refs_by_id[hid][0]): hid
-                    for hid in hit_ids
-                }
-                scan = (
-                    self.spark.read.schema(schema)
-                    .parquet(*hit_paths)
-                    .select(
-                        "repo", "path",
-                        F.input_file_name().alias("_f"),
-                    )
-                )
-                matched_uris = [
-                    r["_f"]
-                    for r in scan.join(
-                        keys_df.select("repo", "path"),
-                        ["repo", "path"], "semi",
-                    ).select("_f").distinct().collect()
-                ]
-                matched_ids = set()
-                for uri in matched_uris:
-                    for p, hid in hit_paths.items():
-                        if uri.endswith(p):
-                            matched_ids.add(hid)
-                            break
-                hit_ids = matched_ids
             for (b, i), ref in refs_by_id.items():
                 if (b, i) in hit_ids:
                     plain_paths.append(os.path.join(self.root, ref[0]))
@@ -800,12 +979,57 @@ class SnapshotTable:
         return out
 
     def _publish(self, version: int, manifest: dict, metrics: dict) -> dict:
+        """Shard + publish. ``manifest["files"]`` arrives RESOLVED (inline
+        entries); on disk each bucket stores a pointer into an immutable
+        content-addressed shard file. An entry object that came out of a
+        resolved manifest hits the identity memo and carries its pointer
+        with ZERO serialization work — so an untouched bucket costs one
+        dict lookup per commit, whatever its file count, and the bytes a
+        commit writes are O(touched buckets' refs) + the pointer map.
+        Content addressing also dedups across versions: a rollback's
+        "new" shards are the target version's files, already on disk.
+        The returned (and cached) manifest stays in resolved form."""
+        import hashlib
+
+        shards_dir = os.path.join(self.root, "manifests", "shards")
+        os.makedirs(shards_dir, exist_ok=True)
+        raw_files: dict[str, dict] = {}
+        shard_bytes, n_new, n_carried = 0, 0, 0
+        for b, entry in manifest["files"].items():
+            memo = self._entry_ptr.get(id(entry))
+            if memo is not None and memo[0] is entry:
+                raw_files[b] = {"ptr": memo[1]}
+                n_carried += 1
+                continue
+            payload = json.dumps(entry, sort_keys=True, separators=(",", ":"))
+            ptr = os.path.join(
+                "shards", hashlib.sha1(payload.encode()).hexdigest() + ".json"
+            )
+            spath = os.path.join(self.root, "manifests", ptr)
+            if os.path.exists(spath):
+                n_carried += 1  # identical content committed before
+            else:
+                _atomic_write(spath, payload)
+                shard_bytes += len(payload)
+                n_new += 1
+            self._shard_cache[ptr] = entry
+            self._entry_ptr[id(entry)] = (entry, ptr)
+            raw_files[b] = {"ptr": ptr}
+        metrics["manifest_shards_written"] = n_new
+        metrics["manifest_shards_carried"] = n_carried
+        raw = dict(manifest, files=raw_files)
+        top_payload = json.dumps(raw, indent=1)
+        metrics["manifest_bytes_written"] = shard_bytes + len(top_payload)
+        # metrics may be embedded in the manifest (commit paths pass the
+        # same dict) — re-serialize so the committed copy carries the
+        # final counters
+        top_payload = json.dumps(raw, indent=1)
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
         # exclusive: a concurrent writer that prepared against the same
         # parent (continuous ingest racing a background compact/rebucket)
         # would otherwise overwrite this manifest and regress the
         # checkpoint — exactly one commit per version number can ever win
-        _atomic_write(mpath, json.dumps(manifest, indent=1), exclusive=True)
+        _atomic_write(mpath, top_payload, exclusive=True)
         _atomic_write(self._latest_path, str(version))
         _atomic_write(
             os.path.join(self.root, "metrics", f"batch-v{version}.json"),
@@ -835,12 +1059,16 @@ class SnapshotTable:
         cur = self.version()
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
         live: set[str] = set()
+        live_shards: set[str] = set()
         for v in keep_versions:
             p = os.path.join(self.root, "manifests", f"v{v}.json")
             if os.path.exists(p):
                 with open(p) as f:
                     m = json.load(f)
-                for entry in m["files"].values():
+                for raw in m["files"].values():
+                    if isinstance(raw, dict) and "ptr" in raw:
+                        live_shards.add(os.path.basename(raw["ptr"]))
+                for entry in self._resolve_files(m["files"]).values():
                     for rel in _chain(entry):
                         # a bucket dir lives under data/v{K}/; keep that version dir
                         live.add(rel.split("/")[1])
@@ -852,8 +1080,19 @@ class SnapshotTable:
                 if v_num not in keep_versions and f"v{v_num}" not in live:
                     shutil.rmtree(os.path.join(data_root, entry))
                     removed.append(entry)
-        for entry in sorted(os.listdir(os.path.join(self.root, "manifests"))):
+        manifests_dir = os.path.join(self.root, "manifests")
+        for entry in sorted(os.listdir(manifests_dir)):
+            if not entry.endswith(".json"):
+                continue  # the shards/ subdir, handled below
             v_num = int(entry[1:].split(".")[0])
             if v_num not in keep_versions:
-                os.remove(os.path.join(self.root, "manifests", entry))
+                os.remove(os.path.join(manifests_dir, entry))
+        # shard GC: content-addressed shards referenced by no kept
+        # manifest (expired versions' entries, or orphans of a writer
+        # that lost the exclusive top-manifest race)
+        shards_dir = os.path.join(manifests_dir, "shards")
+        if os.path.isdir(shards_dir):
+            for entry in sorted(os.listdir(shards_dir)):
+                if entry.endswith(".json") and entry not in live_shards:
+                    os.remove(os.path.join(shards_dir, entry))
         return removed

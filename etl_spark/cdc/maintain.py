@@ -190,6 +190,16 @@ def compact(
         w = w.option("maxRecordsPerFile", int(target_file_rows))
     w.partitionBy("_bucket").parquet(out_dir)
     harvest = scan_written_footers(table.root, out_dir)
+    if os.environ.get("ETL_SPARK_FILELEVEL", "2") == "2":
+        # compaction lays out the key-contiguous file groups future
+        # merges prune against; stamp their membership blooms here so
+        # insert-fanout exoneration is metadata-only from the first
+        # post-compaction batch (multi-file buckets only — a single-file
+        # bucket IS its file, a bloom can't save it a rewrite)
+        from .lake import build_file_blooms
+
+        eligible = {b for b, v in harvest.items() if len(v["files"]) >= 2}
+        build_file_blooms(spark, table.root, harvest, eligible=eligible)
     entries = {
         b: {"base": v["files"], "deltas": []}
         for b, v in harvest.items() if v["files"]
@@ -238,7 +248,7 @@ def remove_orphans(table: SnapshotTable, min_age_secs: float = 3600.0) -> list[s
         live.add(entry[:-5])
         with open(os.path.join(manifests_dir, entry)) as f:
             m = json.load(f)
-        for e in m["files"].values():
+        for e in table._resolve_files(m["files"]).values():  # noqa: SLF001
             for rel in _chain(e):
                 # bucket dirs live under data/v{K}/_bucket=...; keep v{K}
                 live.add(rel.split("/")[1])

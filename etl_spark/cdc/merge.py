@@ -874,6 +874,20 @@ def _merge_and_commit(
     # merges prune against (file-level CoW).
     t_phase = time.time()
     harvest = scan_written_footers(table.root, out_dir)
+    if os.environ.get("ETL_SPARK_FILELEVEL", "2") == "2":
+        # write-time key-membership blooms (one narrow pass over the
+        # files just written, O(batch output)) so the NEXT merges'
+        # insert-fanout pruning is metadata-only — lake.build_file_blooms.
+        # Only multi-file buckets (counting carried cold refs): with one
+        # file per bucket the file IS the bucket and a bloom buys
+        # nothing, so whole-bucket-rewrite workloads pay zero here.
+        from .lake import build_file_blooms
+
+        eligible = {
+            b for b, v in harvest.items()
+            if len(v["files"]) + len(cold_refs.get(b, [])) >= 2
+        }
+        build_file_blooms(spark, table.root, harvest, eligible=eligible)
     m.lineage = _lineage_from_harvest(harvest)
     m.files_rewritten = sum(len(v["files"]) for v in harvest.values())
     m.files_carried = int(split_stats.get("files_cold") or 0)
@@ -890,7 +904,7 @@ def _merge_and_commit(
     m.phase_secs["lineage"] = round(time.time() - t_phase, 3)
     t_phase = time.time()
 
-    table.commit(
+    committed = table.commit(
         version,
         out_dir,
         touched,
@@ -900,6 +914,10 @@ def _merge_and_commit(
         full_rewrite=full_rewrite,
         bucket_entries=entries,
     )
+    m.manifest_bytes = int(
+        committed["metrics"].get("manifest_bytes_written") or 0)
+    m.manifest_shards_carried = int(
+        committed["metrics"].get("manifest_shards_carried") or 0)
     m.phase_secs["commit"] = round(time.time() - t_phase, 3)
     m.wall_secs = time.time() - t0
     return m
@@ -1017,7 +1035,12 @@ def _delta_commit(
     m.bytes_written = sum(v["bytes"] for v in harvest.values())
     m.phase_secs["lineage"] = round(time.time() - t_phase, 3)
     t_phase = time.time()
-    table.commit_delta(version, out_dir, max(ckpt, lsn_to), dyn_final, m.to_dict())
+    committed = table.commit_delta(
+        version, out_dir, max(ckpt, lsn_to), dyn_final, m.to_dict())
+    m.manifest_bytes = int(
+        committed["metrics"].get("manifest_bytes_written") or 0)
+    m.manifest_shards_carried = int(
+        committed["metrics"].get("manifest_shards_carried") or 0)
     m.phase_secs["commit"] = round(time.time() - t_phase, 3)
     m.wall_secs = time.time() - t0
     return m

@@ -43,6 +43,8 @@ class BatchMetrics:
     files_carried: int = 0             # cold files carried by reference (file-level CoW)
     rows_carried_ref: int = 0          # rows inside carried cold files (from their refs)
     bytes_written: int = 0             # bytes of data files written this commit
+    manifest_bytes: int = 0            # commit METADATA bytes (new shards + pointer map)
+    manifest_shards_carried: int = 0   # untouched buckets' shards carried as pointers
     wall_secs: float = 0.0
     phase_secs: dict = field(default_factory=dict)  # phase -> seconds (perf diag)
     lineage: dict = field(default_factory=dict)  # bucket -> {rows, dir}

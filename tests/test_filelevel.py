@@ -227,3 +227,81 @@ def test_membership_probe_carries_insert_fanout(spark, tmp_path, monkeypatch):
 
     res = audit_table(spark, t)
     assert res["ok"], res
+
+
+def _insert_fanout_table(spark, root):
+    """800 even-path rows compacted into >=6 key-contiguous bloomed
+    files, plus a 4-dart odd-path insert batch (in-range, row-less)."""
+    n = 800
+    base = _events(
+        spark,
+        [
+            (i + 1, "I", "r", f"p{2 * i:04d}", f"c{i}", "py", f"body {i}",
+             "2024-01-01 00:00:00", None, None)
+            for i in range(n)
+        ],
+    )
+    t = SnapshotTable(spark, str(root), n_buckets=1)
+    replay(spark, base, t, batch_size=n)
+    compact(spark, t, target_file_rows=100, max_files_per_bucket=0)
+    ins = _events(
+        spark,
+        [
+            (n + 100 + j, "I", "r", f"p{k:04d}", "cz", "py", "fresh",
+             "2024-01-02 00:00:00", None, None)
+            for j, k in enumerate((11, 411, 811, 1211))
+        ],
+    )
+    want = {("r", f"p{2 * i:04d}"): (f"body {i}", i + 1) for i in range(n)}
+    for j, k in enumerate((11, 411, 811, 1211)):
+        want[("r", f"p{k:04d}")] = ("fresh", n + 100 + j)
+    return t, ins, want
+
+
+def test_bloom_false_positive_only_costs_a_rewrite(spark, tmp_path,
+                                                   monkeypatch):
+    """The carry decision is FALSE-POSITIVE-TOLERANT by construction: a
+    bloom that wrongly claims membership (simulated here as all-ones
+    filters on every ref) only demotes carries to rewrites — the state
+    stays sequential-replay-exact, nothing is lost. The dangerous
+    direction (a false NEGATIVE carrying a file that holds a batch key)
+    is impossible: blooms have no false negatives and a missing bloom
+    fails closed (test below)."""
+    import etl_spark.cdc.lake as lake_mod
+
+    t, ins, want = _insert_fanout_table(spark, tmp_path / "lake")
+    refs0 = t.manifest()["files"]["0"]["base"]
+    m_files = len(refs0)
+    monkeypatch.setattr(
+        lake_mod, "_bloom_words",
+        lambda ref: (1024, [-1] * (1024 // 64)),  # every probe bit set
+    )
+    monkeypatch.setenv("ETL_SPARK_FILELEVEL", "2")
+    ms = replay(spark, ins, t, batch_size=10)
+    # all-range-hit files look like members now -> rewritten, not carried
+    assert ms[0].files_carried < m_files, ms[0].to_dict()
+    assert _state(t) == want
+    res = audit_table(spark, t)
+    assert res["ok"], res
+
+
+def test_missing_bloom_fails_closed(spark, tmp_path, monkeypatch):
+    """A ref with no decodable bloom counts as a HIT (fail closed): the
+    probe degrades to range-only pruning, never to a wrong carry. With
+    every bloom stripped, the 4 in-range darts force their range-hit
+    files to rewrite — strictly less carry than the bloomed run — and
+    the state stays exact."""
+    import etl_spark.cdc.lake as lake_mod
+
+    t, ins, want = _insert_fanout_table(spark, tmp_path / "lake")
+    refs0 = t.manifest()["files"]["0"]["base"]
+    m_files = len(refs0)
+    assert all(len(r) >= 7 for r in refs0), "compact stamped blooms"
+    monkeypatch.setattr(lake_mod, "_bloom_words", lambda ref: None)
+    monkeypatch.setenv("ETL_SPARK_FILELEVEL", "2")
+    ms = replay(spark, ins, t, batch_size=10)
+    # darts hit >=1 distinct files' ranges; those rewrite (no carry)
+    assert 0 < ms[0].files_carried < m_files, ms[0].to_dict()
+    assert _state(t) == want
+    res = audit_table(spark, t)
+    assert res["ok"], res
