@@ -18,16 +18,23 @@ Design — *reconstruct lazily from snapshots, never write a second log*:
   dirs are scanned. Cost scales with the update footprint of the
   interval, exactly like the CoW merge itself — never with table size.
 - **One plan for the whole interval, however many commits it spans.**
-  Every distinct bucket dir referenced anywhere in the interval is read
-  by a SINGLE parquet scan; a tiny broadcast map keyed on the dir path
-  (from ``input_file_name``) tags each row with the commit(s) whose diff
-  it participates in and its role there (``o`` = outgoing state, ``n``
-  = incoming state — a dir is the new side of the commit that published
-  it and the old side of the commit that replaced it, so each dir is
-  scanned once and serves both). A naive reader would instead union one
-  full-outer join per commit — plan depth, compile time and scan count
-  all linear in the commit count; this shape is constant-depth:
-  scan -> broadcast tag -> slim HashAggregate -> join-back.
+  Every distinct data FILE on a non-shared diff side anywhere in the
+  interval is read by a SINGLE parquet scan; a tiny broadcast map keyed
+  on the file path (from ``input_file_name``) tags each row with the
+  commit(s) whose diff it participates in and its role there (``o`` =
+  outgoing state, ``n`` = incoming state — a file is the new side of
+  the commit that published it and the old side of the commit that
+  dropped it, so each file is scanned once and serves both). A naive
+  reader would instead union one full-outer join per commit — plan
+  depth, compile time and scan count all linear in the commit count;
+  this shape is constant-depth: scan -> broadcast tag -> slim
+  HashAggregate -> join-back. Files CARRIED by reference across a
+  plain file-level CoW rewrite are not tagged at all (a plain base
+  holds one live row per key partitioned across its files, so a
+  carried file can never hold a touched key — _file_tags), and files
+  shared by a CHAIN-bearing commit's two sides are tagged once per
+  (file, commit-RANGE), so driver-side tag metadata stays
+  O(files + transitions), never O(commits × files).
 - Classification rides ``_last_lsn``, aggregated per (key, commit) as
   two LONG buffers (HashAggregate-safe — string payloads never enter an
   aggregation buffer, which would force SortAggregate): no old state ->
@@ -61,7 +68,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .lake import TOMBSTONE_COL, SnapshotTable, _chain
+from .lake import TOMBSTONE_COL, SnapshotTable, _chain, _entry_parts
 from .schema import KEY_COLS
 
 CHANGE_COLS = ["commit", "lang", "content", "content_sha256", "_last_lsn"]
@@ -72,26 +79,43 @@ CHANGE_COLS = ["commit", "lang", "content", "content_sha256", "_last_lsn"]
 _FILE_RE = r"(data/v\d+/_bucket=\d+/[^/]+)$"
 
 
-def _file_tags(root: str, manifests: dict[int, dict], from_version: int,
-               to_version: int) -> list[tuple[str, int, str]]:
-    """(data-file relpath, commit version, role) for every diff side in
-    the interval, at FILE granularity. Walking the manifest chain per
-    bucket: each commit where a bucket's file SET changes contributes
-    the outgoing files as the ``o`` side and the incoming files as the
-    ``n`` side of that commit's diff; a file on BOTH sides — the
-    untouched prefix of a merge-on-read chain append, or a cold file
-    carried by reference across a file-level CoW rewrite — is tagged
-    once as ``b`` and serves both sides of the verdict aggregate.
-    Either side may be empty (bucket born or emptied). Dir-form entries
-    expand to their parquet files (driver listing, memoized — committed
-    dirs are immutable), so every tag joins the scan on one uniform
-    file key whatever manifest form the commit used.
+def _file_tags(
+    root: str, manifests: dict[int, dict], from_version: int,
+    to_version: int,
+) -> tuple[list[tuple[str, int, str]], list[tuple[str, int, int]]]:
+    """Diff-side tags for the interval, at FILE granularity. Walking the
+    manifest chain per bucket, each commit where a bucket's file SET
+    changes contributes the outgoing files as the ``o`` side and the
+    incoming files as the ``n`` side of that commit's diff. Dir-form
+    entries expand to their parquet files (driver listing, memoized —
+    committed dirs are immutable), so every tag joins the scan on one
+    uniform file key whatever manifest form the commit used. Returns
+    ``(ch_tags, b_ranges)``:
 
-    The tag LIST for a K-commit interval over an L-file chain is
-    O(K × L) driver-side metadata, but the scan is not: shared (``b``)
-    files are read ONCE and fanned out per TOUCHED KEY, never per
-    commit (see read_changelog), so the feed's data cost stays
-    O(interval files + touched keys)."""
+    - ``ch_tags``: ``(file, commit, 'o'|'n')`` for the non-shared sides.
+      O(interval files): a file is ``n`` at most once (the commit that
+      published it) and ``o`` at most once (the commit that dropped it).
+    - ``b_ranges``: ``(file, first_commit, last_commit)`` spans over the
+      commits for which the file is SHARED between the two sides of a
+      CHAIN-bearing diff (the untouched prefix of a merge-on-read chain
+      append, or cold base files carried across a delta commit /
+      chain rollback). Consecutive commits compress into one range, so
+      the driver-side tag list is O(files + transitions), never the
+      O(K × L) a K-commit interval over an L-file chain would cost as
+      one tuple per (file, commit).
+
+    Shared files of a PLAIN → PLAIN diff (file-level CoW rewrite where
+    neither entry carries delta dirs) emit NO tag at all: a plain base
+    holds exactly one live row per key, partitioned across its files,
+    so a carried file's key set is disjoint from every non-shared file
+    of the same bucket on BOTH sides (and keys hash to exactly one
+    bucket, so cross-bucket keys cannot collide either) — no touched
+    key of the commit can have a row in a shared file, and the ``b``
+    subplan would provably join empty. Only chain-bearing diffs (a
+    delta append supersedes keys that LIVE in the shared prefix) need
+    ``b`` rows; skipping the rest is what keeps the feed's scan set
+    O(changed files) under file-level CoW, where every commit carries
+    most of the table by reference."""
     listing: dict[str, list[str]] = {}
 
     def files_of(entry) -> list[str]:
@@ -109,22 +133,38 @@ def _file_tags(root: str, manifests: dict[int, dict], from_version: int,
             out.extend(listing[rel])
         return out
 
+    def is_plain(entry) -> bool:
+        _, heads, tails = _entry_parts(entry)
+        return not heads and not tails
+
     tags: list[tuple[str, int, str]] = []
+    open_ranges: dict[str, list[int]] = {}  # file -> [first, last] commit
+    b_ranges: list[tuple[str, int, int]] = []
     cur = dict(manifests[from_version]["files"])
     for v in range(from_version + 1, to_version + 1):
         nxt = manifests[v]["files"]
         for b in set(cur) | set(nxt):
             if b in cur and b in nxt and cur[b] == nxt[b]:
                 continue
-            o = files_of(cur[b]) if b in cur else []
-            n = files_of(nxt[b]) if b in nxt else []
-            if o != n:
-                o_set, n_set = set(o), set(n)
-                tags.extend((d, v, "b") for d in sorted(o_set & n_set))
-                tags.extend((d, v, "o") for d in sorted(o_set - n_set))
-                tags.extend((d, v, "n") for d in sorted(n_set - o_set))
+            o_set = set(files_of(cur[b])) if b in cur else set()
+            n_set = set(files_of(nxt[b])) if b in nxt else set()
+            if o_set == n_set:
+                continue
+            tags.extend((d, v, "o") for d in sorted(o_set - n_set))
+            tags.extend((d, v, "n") for d in sorted(n_set - o_set))
+            if (b in cur and not is_plain(cur[b])) or (
+                    b in nxt and not is_plain(nxt[b])):
+                for d in o_set & n_set:
+                    r = open_ranges.get(d)
+                    if r is not None and r[1] == v - 1:
+                        r[1] = v
+                    else:
+                        if r is not None:
+                            b_ranges.append((d, r[0], r[1]))
+                        open_ranges[d] = [v, v]
         cur = dict(nxt)
-    return tags
+    b_ranges.extend((d, r[0], r[1]) for d, r in open_ranges.items())
+    return tags, sorted(b_ranges)
 
 
 def read_changelog(
@@ -142,8 +182,9 @@ def read_changelog(
     if to_version < from_version:
         raise ValueError(f"to_version {to_version} < from_version {from_version}")
     manifests = {v: table.manifest_at(v) for v in range(from_version, to_version + 1)}
-    tags = _file_tags(table.root, manifests, from_version, to_version)
-    if not tags:
+    ch_tags, b_ranges = _file_tags(
+        table.root, manifests, from_version, to_version)
+    if not ch_tags:
         schema_src = table.read().select(
             *KEY_COLS, *CHANGE_COLS,
             F.lit("").alias("_change_type"), F.lit(0).alias("_commit_version"),
@@ -159,7 +200,6 @@ def read_changelog(
         + [T.StructField(TOMBSTONE_COL, T.BooleanType())]
     )
     fkey = F.regexp_extract(F.input_file_name(), _FILE_RE, 1).alias("_fkey")
-    ch_tags = [t for t in tags if t[2] != "b"]
     ch_files = sorted({t[0] for t in ch_tags})
     ch_tags_df = spark.createDataFrame(
         ch_tags, "_fkey string, _commit_version int, _side string"
@@ -170,31 +210,32 @@ def read_changelog(
         .withColumn("_fkey", fkey)
         .join(F.broadcast(ch_tags_df), "_fkey")
     )
-    # ``b``-role rows — files SHARED between a commit's two sides (the
-    # untouched prefix of a merge-on-read chain append; cold files
-    # carried by reference across a file-level CoW rewrite) — matter
+    # ``b``-role rows — files SHARED between the two sides of a
+    # CHAIN-bearing commit (the untouched prefix of a merge-on-read
+    # chain append; base files carried across a delta commit) — matter
     # only for keys some NON-shared file of that commit touched: a key
     # whose rows all live in shared files yields o == n and emits
     # nothing, so computing it is pure waste. The touch set is the slim
     # key set of the commit's o-only and n-only files (for an append:
     # the batch winners in the appended dir; for a rollback: the removed
-    # deltas — tiny next to the base either way). Crucially the shared
-    # files are scanned ONCE for the whole interval and fanned out BY
-    # TOUCHED KEY (an equi-join on the key assigns each row the commit
-    # versions that need it, then a broadcast semi on (file, commit)
-    # keeps only pairs where the file really is shared), never
-    # re-scanned or replicated per commit — a K-commit interval over an
-    # L-file chain costs O(L + touched) data rows, not O(K × L). The
-    # touch set must cover BOTH non-shared sides: keying it off n-files
-    # alone drops the prefix rows a chain-SHRINKING commit (rollback)
-    # needs for its new side, misclassifying every rolled-back key as a
-    # delete. CoW commits with no carried files have no ``b`` tags and
-    # skip this subplan entirely.
-    b_tags = [t for t in tags if t[2] == "b"]
-    if b_tags:
-        b_files = sorted({t[0] for t in b_tags})
-        b_pairs_df = spark.createDataFrame(
-            [t[:2] for t in b_tags], "_fkey string, _commit_version int",
+    # deltas — tiny next to the base either way), from a SECOND scan of
+    # the ch files pruned to the two key columns (~1-2% of their bytes —
+    # cheaper than reusing the full-payload tagged subtree). Crucially
+    # the shared files are scanned ONCE for the whole interval and
+    # fanned out BY TOUCHED KEY (an equi-join on the key assigns each
+    # row the commit versions that need it, then a broadcast range join
+    # on (file, commit-span) keeps only pairs where the file really is
+    # shared), never re-scanned or replicated per commit — a K-commit
+    # interval over an L-file chain costs O(L + touched) data rows, not
+    # O(K × L). The touch set must cover BOTH non-shared sides: keying
+    # it off n-files alone drops the prefix rows a chain-SHRINKING
+    # commit (rollback) needs for its new side, misclassifying every
+    # rolled-back key as a delete. Plain file-level CoW commits have no
+    # ``b`` ranges at all (_file_tags) and skip this subplan entirely.
+    if b_ranges:
+        b_files = sorted({t[0] for t in b_ranges})
+        b_ranges_df = spark.createDataFrame(
+            b_ranges, "_fkey string, _lo int, _hi int",
         )
         touched_keys = (
             spark.read.schema(
@@ -216,8 +257,12 @@ def read_changelog(
             .join(touched_keys, list(KEY_COLS))
             # ...and survives only for commits in which ITS file is a
             # shared side (a row of an o-only/n-only file never rides
-            # the b path; its own scan above covers it)
-            .join(F.broadcast(b_pairs_df), ["_fkey", "_commit_version"])
+            # the b path; its own scan above covers it) — a broadcast
+            # hash join on the file plus a span filter, so the build
+            # side stays O(files + transitions)
+            .join(F.broadcast(b_ranges_df), "_fkey")
+            .where(F.col("_commit_version").between(F.col("_lo"), F.col("_hi")))
+            .drop("_lo", "_hi")
             .withColumn("_side", F.lit("b"))
         )
         tagged = tagged.unionByName(b_rows)

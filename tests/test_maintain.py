@@ -60,10 +60,13 @@ def _apply_feed(rows):
 
 def test_changelog_diffs_are_bucket_scoped():
     """Diff tags cover only files whose manifest reference changed — the
-    property that keeps CDF cost O(update footprint) — each distinct
-    file is tagged at most once per (commit, side), and a cold file
-    carried by reference across a file-level rewrite tags as ``b``
-    (shared), never re-scanned as a change."""
+    property that keeps CDF cost O(update footprint). Each distinct file
+    is tagged at most once per (commit, side); a cold file carried by
+    reference across a PLAIN file-level rewrite emits NO tag at all (a
+    plain base holds one live row per key partitioned across its files,
+    so a carried file can never hold a touched key of the commit); a
+    chain-shared file compresses its commit span into ONE range tag, so
+    the driver-side tag list is O(files + transitions), not O(K x L)."""
     from etl_spark.cdc.changelog import _file_tags
 
     def fe(*paths):  # file-level entry (stats irrelevant to tagging)
@@ -79,20 +82,56 @@ def test_changelog_diffs_are_bucket_scoped():
                                "data/v2/_bucket=1/c.parquet"),  # rewritten
                        "2": fe("data/v2/_bucket=2/a.parquet")}}  # new bucket
     # 3 disappeared (all rows deleted) -> must be scanned for deletes
-    tags = _file_tags("/nonexistent", {1: m_old, 2: m_new}, 1, 2)
+    tags, b_ranges = _file_tags("/nonexistent", {1: m_old, 2: m_new}, 1, 2)
     assert sorted(tags) == [
-        ("data/v1/_bucket=1/a.parquet", 2, "b"),
         ("data/v1/_bucket=1/b.parquet", 2, "o"),
         ("data/v1/_bucket=3/a.parquet", 2, "o"),
         ("data/v2/_bucket=1/c.parquet", 2, "n"),
         ("data/v2/_bucket=2/a.parquet", 2, "n"),
     ]
+    # plain -> plain rewrite: the carried cold file is NOT tagged shared
+    assert b_ranges == []
     # a file rewritten at v2 then again at v3 is old-side of v3 once
     m_3 = {"files": {"0": fe("data/v3/_bucket=0/a.parquet"),
                      "1": fe("data/v3/_bucket=1/a.parquet")}}
-    tags = _file_tags("/nonexistent", {1: m_old, 2: m_new, 3: m_3}, 1, 3)
+    tags, _ = _file_tags("/nonexistent", {1: m_old, 2: m_new, 3: m_3}, 1, 3)
     assert tags.count(("data/v2/_bucket=1/c.parquet", 3, "o")) == 1
     assert all(tags.count(t) == 1 for t in tags)
+
+
+def test_changelog_chain_shared_files_tag_as_ranges():
+    """A merge-on-read chain appended to K times keeps its shared prefix
+    as ONE (file, first, last) range per file — O(files + transitions)
+    driver metadata — and a gap in sharedness (a compaction between two
+    chain epochs) splits the range."""
+    from etl_spark.cdc.changelog import _file_tags
+
+    def ce(base, *deltas):  # chain entry: base FILE + delta file "dirs"
+        return {"base": [[base, 1, None, None, None, None]],
+                "deltas": list(deltas)}
+
+    base = "data/v1/_bucket=0/a.parquet"
+    ms = {1: {"files": {"0": ce(base)}}}
+    # v2..v4: three delta appends — base shared at each, prefix grows
+    deltas = []
+    for v in (2, 3, 4):
+        deltas.append(f"data/v{v}/_bucket=0/d.parquet")
+        ms[v] = {"files": {"0": ce(base, *deltas)}}
+    tags, b_ranges = _file_tags("/nonexistent", ms, 1, 4)
+    assert (base, 2, 4) in b_ranges          # ONE span, not 3 tuples
+    assert (deltas[0], 3, 4) in b_ranges     # first delta shared at v3, v4
+    assert (deltas[1], 4, 4) in b_ranges
+    assert sorted(t for t in tags if t[2] == "n") == [
+        (deltas[0], 2, "n"), (deltas[1], 3, "n"), (deltas[2], 4, "n")]
+    # compaction at v5 (chain -> fresh plain base): all chain files are
+    # o-side once; nothing shared
+    ms[5] = {"files": {"0": {"base": [["data/v5/_bucket=0/a.parquet",
+                                       1, None, None, None, None]],
+                             "deltas": []}}}
+    tags5, b5 = _file_tags("/nonexistent", ms, 1, 5)
+    assert {t for t in tags5 if t[1] == 5 and t[2] == "o"} == {
+        (base, 5, "o"), *{(d, 5, "o") for d in deltas}}
+    assert b5 == b_ranges  # no new shared spans from the compaction
 
 
 def test_commit_concurrency_and_retention_guards(spark, tmp_path, replayed):
