@@ -90,6 +90,17 @@ def generate_events(spark: SparkSession, cfg: GenConfig) -> DataFrame:
     Entirely JVM-side (range + hash expressions): deterministic under any
     partitioning, embarrassingly parallel, no Python serialization.
     """
+    if cfg.key_offset and (cfg.zipf_s > 0 or cfg.hot_frac > 0):
+        # key_offset assumes a zero-based key index: zipf's rank->repo
+        # map (repo = key / keys_per_repo) would silently yield repo
+        # ranks >= n_repos, and the legacy hot-repo threshold
+        # (key < hot_keys) would silently never match — wrong repo
+        # distributions with no error. Offset logs are the append-only
+        # fixture; generate them with hot_frac=0 and zipf_s=0.
+        raise ValueError(
+            "key_offset requires hot_frac=0 and zipf_s=0 (uniform keys); "
+            f"got hot_frac={cfg.hot_frac}, zipf_s={cfg.zipf_s}"
+        )
     df = spark.range(
         cfg.base_lsn + 1, cfg.base_lsn + cfg.n_events + 1
     ).withColumnRenamed("id", "lsn")

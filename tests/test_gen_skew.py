@@ -120,3 +120,16 @@ def test_key_offset_disjoint_keyspace(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_key_offset_rejects_skewed_modes(spark):
+    """key_offset assumes a zero-based key index: combined with zipf_s
+    or the legacy hot-repo mode the rank->repo map would silently
+    produce a wrong repo distribution — the generator must refuse."""
+    with pytest.raises(ValueError, match="key_offset"):
+        generate_events(spark, GenConfig(
+            n_events=10, n_keys=10, zipf_s=1.1, hot_frac=0.0,
+            key_offset=10))
+    with pytest.raises(ValueError, match="key_offset"):
+        generate_events(spark, GenConfig(
+            n_events=10, n_keys=10, hot_frac=0.3, key_offset=10))
