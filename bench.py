@@ -338,7 +338,8 @@ def _table_state_hash(spark, root: str) -> str:
     return f"{row['s']}/{row['n']}"
 
 
-def run_scaling(pairs: list[tuple[int, int]], n_events: int, repeats: int = 3) -> dict:
+def run_scaling(pairs: list[tuple[int, int]], n_events: int,
+                repeats: int = 3, write_mode: str = "cow") -> dict:
     from etl_spark.cdc.gen import GenConfig, write_events
     from etl_spark.session import get_spark
 
@@ -368,7 +369,8 @@ def run_scaling(pairs: list[tuple[int, int]], n_events: int, repeats: int = 3) -
                 tdir = os.path.join(work, f"table_{cores}_{r}")
                 res = _run_replay_subprocess(
                     log_dir, tdir, cores,
-                    batch_size=max(n_events // SCALE_BATCH_DIV, 1))
+                    batch_size=max(n_events // SCALE_BATCH_DIV, 1),
+                    write_mode=write_mode)
                 eps[cores].append(res["events_per_sec"])
                 secs[cores].append(res["secs"])
                 if r == repeats - 1:
@@ -393,6 +395,7 @@ def run_scaling(pairs: list[tuple[int, int]], n_events: int, repeats: int = 3) -
         return {
             "n_events": n_events,
             "repeats": repeats,
+            "write_mode": write_mode,
             "eps_runs": eps,
             "secs_runs": secs,
             "median_eps": med,
@@ -413,6 +416,50 @@ def run_scaling(pairs: list[tuple[int, int]], n_events: int, repeats: int = 3) -
 # log touches every file every batch, so they can't show there)
 # --------------------------------------------------------------------------
 
+def _build_skewed_fixture(work: str, n_base: int, n_updates: int,
+                          n_buckets: int = 64) -> tuple[str, str, int, int]:
+    """Generate the zipf base + sparse-update logs and materialize the
+    compacted base table under ``work``; returns (upd_log, base_root,
+    base_rows, focus). The base is compacted into ~24 key-contiguous
+    files per bucket — the file groups file-level CoW prunes against.
+    The gen JVM is stopped before returning so no unpinned GC/background
+    threads coexist with a timed subprocess."""
+    from etl_spark.cdc.gen import GenConfig, write_events
+    from etl_spark.cdc.lake import SnapshotTable
+    from etl_spark.cdc.maintain import compact
+    from etl_spark.cdc.runner import read_event_log, replay
+    from etl_spark.session import get_spark
+
+    n_keys = n_base  # ~63% distinct after collisions; every event an insert
+    focus = max(n_keys // 1000, 1)
+    spark = get_spark("bench-skew-gen", master=f"local[{CPUS}]")
+    base_log = os.path.join(work, "base_log")
+    upd_log = os.path.join(work, "upd_log")
+    write_events(
+        spark,
+        GenConfig(n_events=n_base, n_keys=n_keys, n_repos=400,
+                  zipf_s=1.1, p_insert=1.0, p_update=0.0,
+                  max_content_reps=16, seed=17),
+        base_log, n_files=64,
+    )
+    write_events(
+        spark,
+        GenConfig(n_events=n_updates, n_keys=n_keys, n_repos=400,
+                  zipf_s=1.1, p_insert=0.0, p_update=0.8,
+                  update_focus_keys=focus, base_lsn=n_base,
+                  max_content_reps=16, seed=17),
+        upd_log, n_files=64,
+    )
+    base = SnapshotTable(spark, os.path.join(work, "base"),
+                         n_buckets=n_buckets)
+    replay(spark, read_event_log(spark, base_log), base, batch_size=n_base)
+    base_rows = base.read().count()
+    compact(spark, base, max_files_per_bucket=0,
+            target_file_rows=max(base_rows // n_buckets // 24, 1))
+    spark.stop()
+    return upd_log, base.root, base_rows, focus
+
+
 def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
                levels=(2, 8)) -> dict:
     """Pre-materialize a zipf-skewed base table once (insert-only load +
@@ -427,48 +474,17 @@ def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
     engine with file pruning DISABLED (whole-bucket rewrite: the
     write-amplification comparator), delta is merge-on-read winners-only,
     delta_chain3 adds the chain-length compaction policy."""
-    from etl_spark.cdc.gen import GenConfig, write_events
-    from etl_spark.cdc.lake import SnapshotTable
-    from etl_spark.cdc.maintain import compact
-    from etl_spark.cdc.runner import read_event_log, replay
     from etl_spark.session import get_spark
 
-    n_keys = n_base  # ~63% distinct after collisions; every event an insert
-    focus = max(n_keys // 1000, 1)
     n_buckets = 64
     work = tempfile.mkdtemp(prefix="bench_skew_", dir=_workroot())
-    spark = get_spark("bench-skew-gen", master=f"local[{CPUS}]")
     try:
-        base_log = os.path.join(work, "base_log")
-        upd_log = os.path.join(work, "upd_log")
-        write_events(
-            spark,
-            GenConfig(n_events=n_base, n_keys=n_keys, n_repos=400,
-                      zipf_s=1.1, p_insert=1.0, p_update=0.0,
-                      max_content_reps=16, seed=17),
-            base_log, n_files=64,
-        )
-        write_events(
-            spark,
-            GenConfig(n_events=n_updates, n_keys=n_keys, n_repos=400,
-                      zipf_s=1.1, p_insert=0.0, p_update=0.8,
-                      update_focus_keys=focus, base_lsn=n_base,
-                      max_content_reps=16, seed=17),
-            upd_log, n_files=64,
-        )
-        base = SnapshotTable(spark, os.path.join(work, "base"),
-                             n_buckets=n_buckets)
-        replay(spark, read_event_log(spark, base_log), base,
-               batch_size=n_base)
-        base_rows = base.read().count()
-        # key-contiguous multi-file layout: the file groups file-level
-        # CoW prunes against
-        compact(spark, base, max_files_per_bucket=0,
-                target_file_rows=max(base_rows // n_buckets // 24, 1))
-        spark.stop()  # gen JVM down before any timed run
+        upd_log, base_root, base_rows, focus = _build_skewed_fixture(
+            work, n_base, n_updates, n_buckets)
 
         modes = (
-            ("cow", "cow", None, None),
+            ("cow", "cow", None, {"ETL_SPARK_FILELEVEL": "1"}),
+            ("cow_member", "cow", None, {"ETL_SPARK_FILELEVEL": "2"}),
             ("cow_bucket", "cow", None, {"ETL_SPARK_FILELEVEL": "0"}),
             ("delta", "delta", None, None),
             ("delta_chain3", "delta", ["--compact-chain-len", "3"], None),
@@ -478,7 +494,7 @@ def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
             for mode, wm, extra, env_extra in modes:
                 probe = _host_probe()
                 tdir = os.path.join(work, f"t_{mode}_{cores}")
-                shutil.copytree(base.root, tdir)
+                shutil.copytree(base_root, tdir)
                 res = _run_replay_subprocess(
                     upd_log, tdir, cores,
                     batch_size=max(n_updates // 4, 1),
@@ -491,6 +507,7 @@ def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
                     "rows_out": res["rows_out"],
                     "files_rewritten": res["files_rewritten"],
                     "files_carried": res["files_carried"],
+                    "manifest_bytes": res.get("manifest_bytes", 0),
                     "probe_mops8": probe,
                 })
         # state equivalence across modes at the largest level
@@ -518,6 +535,136 @@ def run_skewed(n_base: int = 1_000_000, n_updates: int = 400_000,
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def run_skewed_scaling(n_base: int = 1_000_000, n_updates: int = 400_000,
+                       levels=(2, 8), modes=("cow", "delta"),
+                       repeats: int = 5, gate_eps: float = 35_000.0) -> dict:
+    """The uniform pairs' scaling protocol (median of ``repeats``
+    INTERLEAVED pinned cells, host probe before each, state-hash
+    equivalence at the end) applied to the SKEWED workload — the one
+    where file-level CoW actually prunes, so its scaling pair was only
+    ever implied by single-shot cells before.
+
+    Health gate (see BENCH/BASELINE.md rejected-sessions ledger): one
+    throwaway delta cell at max(levels) runs FIRST; if it lands below
+    ``gate_eps`` (healthy windows measured ~50k eps, collapsed windows
+    ~2-3x lower) the whole protocol aborts and records NOTHING — a
+    degraded hypervisor window measures the host, not the engine, and
+    the spin probe alone cannot detect a drained sustained-burst budget.
+    """
+    n_buckets = 64
+    work = tempfile.mkdtemp(prefix="bench_skewsc_", dir=_workroot())
+    try:
+        upd_log, base_root, base_rows, focus = _build_skewed_fixture(
+            work, n_base, n_updates, n_buckets)
+        big, small = max(levels), min(levels)
+        batch = max(n_updates // 4, 1)
+
+        def cell(mode: str, cores: int, tdir: str) -> dict:
+            shutil.copytree(base_root, tdir)
+            return _run_replay_subprocess(
+                upd_log, tdir, cores, batch_size=batch,
+                write_mode=mode, n_buckets=n_buckets)
+
+        gate_probe = _host_probe()
+        gate_dir = os.path.join(work, "gate")
+        g = cell("delta", big, gate_dir)
+        shutil.rmtree(gate_dir, ignore_errors=True)
+        if g["events_per_sec"] < gate_eps:
+            return {"gated": True, "gate_eps": g["events_per_sec"],
+                    "gate_threshold": gate_eps, "probe_mops8": gate_probe}
+
+        runs: list[dict] = []
+        eps: dict[tuple, list[float]] = {
+            (m, c): [] for m in modes for c in levels}
+        finals: dict[tuple, str] = {}
+        for r in range(repeats):
+            for cores in sorted(levels):
+                for mode in modes:
+                    probe = _host_probe()
+                    tdir = os.path.join(work, f"t_{mode}_{cores}_{r}")
+                    res = cell(mode, cores, tdir)
+                    eps[(mode, cores)].append(res["events_per_sec"])
+                    runs.append({
+                        "mode": mode, "cores": cores, "repeat": r,
+                        "eps": res["events_per_sec"], "secs": res["secs"],
+                        "bytes_written": res["bytes_written"],
+                        "probe_mops8": probe,
+                    })
+                    if r == repeats - 1:
+                        finals[(mode, cores)] = tdir
+                    else:
+                        shutil.rmtree(tdir, ignore_errors=True)
+        from etl_spark.session import get_spark
+
+        spark = get_spark("bench-skewsc-hash", master=f"local[{CPUS}]")
+        hashes = {f"{m}_{c}": _table_state_hash(spark, d)
+                  for (m, c), d in finals.items()}
+        med = {f"{m}_{c}": sorted(v)[len(v) // 2]
+               for (m, c), v in eps.items()}
+        pairs = [{
+            "mode": m, "small_cores": small, "big_cores": big,
+            "small_eps": med[f"{m}_{small}"], "big_eps": med[f"{m}_{big}"],
+            "efficiency": round(
+                med[f"{m}_{big}"] / ((big / small) * med[f"{m}_{small}"]), 3),
+        } for m in modes]
+        out = {
+            "n_base_events": n_base, "n_update_events": n_updates,
+            "base_rows": base_rows, "update_focus_keys": focus,
+            "n_buckets": n_buckets, "repeats": repeats,
+            "gate_eps": g["events_per_sec"], "runs": runs,
+            "median_eps": med, "pairs": pairs,
+            "state_match": len(set(hashes.values())) == 1,
+            "state_hashes": hashes,
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/skewed_scaling.json", "w") as f:
+            json.dump(out, f, indent=1)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _skewed_scaling_md_section() -> str:
+    """Render the skewed scaling protocol from BENCH/skewed_scaling.json
+    (written by --skewed-scaling); omitted until measured."""
+    try:
+        with open("BENCH/skewed_scaling.json") as f:
+            r = json.load(f)
+    except (OSError, ValueError):
+        return ""
+    med_rows = "\n".join(
+        f"| {k.rsplit('_', 1)[0]} | local[{k.rsplit('_', 1)[1]}] | {v:,.0f} | "
+        + ", ".join(f"{x['eps']:,.0f}" for x in r["runs"]
+                    if f"{x['mode']}_{x['cores']}" == k) + " |"
+        for k, v in sorted(r["median_eps"].items())
+    )
+    pair_rows = "\n".join(
+        f"| {p['mode']} | {p['small_cores']} -> {p['big_cores']} | "
+        f"{p['small_eps']:,.0f} | {p['big_eps']:,.0f} | **{p['efficiency']}** |"
+        for p in r["pairs"]
+    )
+    return f"""## Skewed-workload scaling (median-of-{r['repeats']} interleaved protocol)
+
+The same protocol as the uniform pairs above, on the zipf/sparse-update
+workload ({r['base_rows']:,}-row base, {r['n_update_events']:,} updates
+into a {r['update_focus_keys']:,}-key working set): interleaved pinned
+cells, host probe per cell, health-gated (a throwaway delta cell at the
+big level must clear the collapsed-window threshold before anything is
+recorded; this session's gate read {r['gate_eps']:,.0f} eps).
+
+| mode | parallelism | events/s (median) | individual runs |
+|---|---|---|---|
+{med_rows}
+
+| mode | pair (cores) | eps_N | eps_4N | efficiency |
+|---|---|---|---|---|
+{pair_rows}
+
+Final state hash identical across every (mode, parallelism) cell:
+**{r['state_match']}**.
+"""
 
 
 def run_append(n_base: int = 400_000, n_appends: int = 160_000,
@@ -586,6 +733,7 @@ def run_append(n_base: int = 400_000, n_appends: int = 160_000,
                 "rows_out": res["rows_out"],
                 "files_rewritten": res["files_rewritten"],
                 "files_carried": res["files_carried"],
+                "manifest_bytes": res.get("manifest_bytes", 0),
                 "probe_mops8": probe,
             })
         spark = get_spark("bench-append-hash", master=f"local[{CPUS}]")
@@ -621,7 +769,8 @@ def _append_md_section() -> str:
     rows = "\n".join(
         f"| {x['mode']} | {x['cores']} | {x['eps']:,.0f} | {x['secs']} | "
         f"{x['bytes_written'] / 1e6:,.1f} | {x['rows_out']:,} | "
-        f"{x['files_rewritten']} | {x['files_carried']} | {x['probe_mops8']} |"
+        f"{x['files_rewritten']} | {x['files_carried']} | "
+        f"{x.get('manifest_bytes', 0) / 1e3:,.0f} | {x['probe_mops8']} |"
         for x in r["runs"]
     )
     return f"""## Append-only ingest (membership pruning vs range pruning)
@@ -632,16 +781,20 @@ Base table: {r['base_rows']:,} rows over keys [0,K); then
 (repo,path) ranges — every insert is a random dart inside some file's
 range, the adversarial workload for range-pruned copy-on-write.
 
-| mode | cores | events/s | secs | MB written | rows written | files written | files carried | probe |
-|---|---|---|---|---|---|---|---|---|
+| mode | cores | events/s | secs | MB written | rows written | files written | files carried | manifest KB | probe |
+|---|---|---|---|---|---|---|---|---|---|
 {rows}
 
-`cow_range` (ETL_SPARK_FILELEVEL=1, the default) prunes on per-file
-key-range metadata only: the darts force it to rewrite ~every file.
-`cow_member` (=2) additionally reads the hit files' two key columns and
-semi-joins the batch keys: no row matches, every file carries by
-reference, and write cost drops to O(batch). Final state hash identical
-across both modes: **{r['state_match']}**.
+`cow_range` (ETL_SPARK_FILELEVEL=1) prunes on per-file key-range
+metadata only: the darts force it to rewrite ~every file. `cow_member`
+(=2, the DEFAULT) also consults the write-time per-file key-membership
+blooms — a broadcast-metadata filter inside the same probe job, no data
+file read: no batch key is a member, every file carries by reference,
+and write cost drops to O(batch). `manifest KB` is the commit METADATA
+written (new content-addressed shards + the pointer map): carried
+buckets cost one pointer each, so it stays O(touched refs) per batch —
+flat in live-file count. Final state hash identical across both modes:
+**{r['state_match']}**.
 """
 
 
@@ -656,7 +809,8 @@ def _skewed_md_section() -> str:
     rows = "\n".join(
         f"| {x['mode']} | {x['cores']} | {x['eps']:,.0f} | {x['secs']} | "
         f"{x['bytes_written'] / 1e6:,.1f} | {x['rows_out']:,} | "
-        f"{x['files_rewritten']} | {x['files_carried']} | {x['probe_mops8']} |"
+        f"{x['files_rewritten']} | {x['files_carried']} | "
+        f"{x.get('manifest_bytes', 0) / 1e3:,.0f} | {x['probe_mops8']} |"
         for x in r["runs"]
     )
     return f"""## Skewed / sparse-update workload (zipf repos, hot-key working set)
@@ -670,20 +824,22 @@ pinned subprocess per cell, host probe recorded — see the
 rejected-sessions note on why single-shot same-window cells, not
 cross-session medians).
 
-| mode | cores | events/s | secs | MB written | rows written | files written | files carried | probe |
-|---|---|---|---|---|---|---|---|---|
+| mode | cores | events/s | secs | MB written | rows written | files written | files carried | manifest KB | probe |
+|---|---|---|---|---|---|---|---|---|---|
 {rows}
 
-Reading it: `cow` is FILE-LEVEL CoW — it rewrites only the files whose
-(repo,path) range intersects the batch's keys; carried files are
-referenced, not copied. `cow_bucket` is the SAME engine with the pruning
-probe disabled (ETL_SPARK_FILELEVEL=0): every touched bucket is rewritten
-whole — the write-amplification comparator; the cow-vs-cow_bucket gap in
-MB/rows written is the file-level win on this workload. `delta` writes
-winners only (O(batch)) and defers the rewrite to compaction;
-`delta_chain3` bounds read amplification at chain length 3 by folding hot
-buckets as they exceed it (the folds' bytes are included). Final state
-hash identical across all modes
+Reading it: `cow` is FILE-LEVEL CoW (range pruning) — it rewrites only
+the files whose (repo,path) range intersects the batch's keys; carried
+files are referenced, not copied. `cow_member` adds the write-time
+key-membership blooms (the default engine mode). `cow_bucket` is the
+SAME engine with the pruning probe disabled (ETL_SPARK_FILELEVEL=0):
+every touched bucket is rewritten whole — the write-amplification
+comparator; the cow-vs-cow_bucket gap in MB/rows written is the
+file-level win on this workload. `delta` writes winners only (O(batch))
+and defers the rewrite to compaction; `delta_chain3` bounds read
+amplification at chain length 3 by folding hot buckets as they exceed
+it (the folds' bytes are included). Final state hash identical across
+all modes
 at {max(x['cores'] for x in r['runs'])} cores: **{r['state_match']}**.
 """
 
@@ -781,7 +937,8 @@ def _cluster(action: str, *args: str, run_dir: str) -> None:
 
 
 def _run_replay_standalone(log_dir: str, table_dir: str, n_workers: int,
-                           cores: int, batch_size: int, run_dir: str) -> dict:
+                           cores: int, batch_size: int, run_dir: str,
+                           extra_args: list[str] | None = None) -> dict:
     """Submit the replay to a pinned standalone cluster of ``n_workers``
     executors x ``cores`` cores. The driver JVM is pinned to its own
     high cores (disjoint from every worker) so driver work contends
@@ -807,7 +964,7 @@ def _run_replay_standalone(log_dir: str, table_dir: str, n_workers: int,
                  "--batch-size", str(batch_size),
                  "--n-buckets", "64",
                  "--master", "spark://127.0.0.1:7077",
-                 "--warmup"]
+                 "--warmup"] + (extra_args or [])
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
     if out.returncode != 0:
@@ -817,7 +974,8 @@ def _run_replay_standalone(log_dir: str, table_dir: str, n_workers: int,
 
 
 def run_scaling_exec(n_events: int, repeats: int = 3,
-                     pairs=((1, 4),), cores_per_worker: int = 2) -> dict:
+                     pairs=((1, 4),), cores_per_worker: int = 2,
+                     write_mode: str = "cow") -> dict:
     """North-rule literal form: the SAME spark-submit --py-files job at
     N executors and 4N executors (separate pinned worker JVMs), medians
     of interleaved repeats, determinism hash across cluster sizes."""
@@ -865,7 +1023,9 @@ def run_scaling_exec(n_events: int, repeats: int = 3,
                     res = _run_replay_standalone(
                         log_dir, tdir, n, cores_per_worker,
                         batch_size=max(n_events // SCALE_BATCH_DIV, 1),
-                        run_dir=run_dir)
+                        run_dir=run_dir,
+                        extra_args=(["--write-mode", write_mode]
+                                    if write_mode != "cow" else None))
                     eps[n].append(res["events_per_sec"])
                     if r == repeats - 1:
                         final_tables[n] = tdir
@@ -888,6 +1048,7 @@ def run_scaling_exec(n_events: int, repeats: int = 3,
             "n_events": n_events,
             "repeats": repeats,
             "cores_per_worker": cores_per_worker,
+            "write_mode": write_mode,
             "batch_div": SCALE_BATCH_DIV,
             "eps_runs": eps,
             "median_eps": med,
@@ -901,10 +1062,11 @@ def run_scaling_exec(n_events: int, repeats: int = 3,
         # the report can show every measured topology, not just the latest
         old = _load_standalone_json()
         configs = old.get("configs", [])
-        key = (cores_per_worker, SCALE_BATCH_DIV)
+        key = (cores_per_worker, SCALE_BATCH_DIV, write_mode)
         configs = [
             c for c in configs
-            if (c["cores_per_worker"], c.get("batch_div", 2)) != key
+            if (c["cores_per_worker"], c.get("batch_div", 2),
+                c.get("write_mode", "cow")) != key
         ] + [result]
         out = {"configs": configs}
         if old.get("rejected"):
@@ -1080,7 +1242,8 @@ def _standalone_md_section() -> str:
             for p in r["pairs"]
         ]
         blocks.append(f"""### Config: {c} core(s) per executor, \
-{r["n_events"] // r.get("batch_div", 2):,}-event batches
+{r["n_events"] // r.get("batch_div", 2):,}-event batches, \
+write mode {r.get("write_mode", "cow")}
 
 Median of {r["repeats"]} interleaved repeats on the same \
 {r["n_events"]:,}-event log:
@@ -1220,6 +1383,45 @@ def _mor_md_section(res: dict) -> str:
 """
 
 
+def _delta_protocol_md_section(res: dict) -> str:
+    """Full local[N] protocol run in merge-on-read (delta) write mode,
+    if recorded — the write mode whose per-batch cost is O(batch), the
+    one that removes the bus-capped carried-rewrite phase from the
+    scaling pair entirely."""
+    d = res.get("delta_protocol")
+    if not d:
+        return ""
+    med = {int(k): v for k, v in d["median_eps"].items()}
+    runs = {int(k): v for k, v in d["eps_runs"].items()}
+    rows = "\n".join(
+        f"| local[{c}] | {m:,.0f} | "
+        + ", ".join(f"{v:,.0f}" for v in runs[c]) + " |"
+        for c, m in sorted(med.items())
+    )
+    pair_rows = "\n".join(
+        f"| {p['small_cores']} -> {p['big_cores']} | {p['small_eps']:,.0f} | "
+        f"{p['big_eps']:,.0f} | **{p['efficiency']}** | "
+        f"{p.get('bandwidth_ceiling_eff', '-')} | {p.get('normalized_eff', '-')} |"
+        for p in d["pairs"]
+    )
+    return f"""## Merge-on-read write mode under the FULL protocol (median of {d['repeats']})
+
+Same protocol, same {d['n_events']:,}-event log shape, write mode
+**delta** (winners-only merge-on-read commits — the O(batch) write path
+for 10^10-event scale):
+
+| parallelism | events/sec (median) | individual runs |
+|---|---|---|
+{rows}
+
+| pair (cores) | eps_N | eps_4N | efficiency | bandwidth ceiling | normalized |
+|---|---|---|---|---|---|
+{pair_rows}
+
+State hash identical across all levels: **{d['state_match']}**.
+"""
+
+
 def _rejected_md_section(res: dict) -> str:
     """Rejected re-measurement sessions for the local[N] protocol —
     recorded, never silently dropped (the honesty ledger the adopted
@@ -1311,8 +1513,10 @@ from host contention.
 {_scaling_verdict_prose(res)}
 
 {_code_delta_md_section(res)}
+{_delta_protocol_md_section(res)}
 {_mor_md_section(res)}
 {_skewed_md_section()}
+{_skewed_scaling_md_section()}
 {_append_md_section()}
 {_rejected_md_section(res)}
 
@@ -1356,7 +1560,13 @@ def main() -> None:
                     help="constant-8-core topology ladder: local[8] vs "
                          "1x8 / 2x4 / 4x2 standalone executors -> "
                          "BENCH/topology.json + BENCH/BASELINE.md refresh")
+    ap.add_argument("--skewed-scaling", action="store_true",
+                    help="median-of-5 interleaved scaling protocol on the "
+                         "skewed workload (health-gated: records nothing "
+                         "in a collapsed host window) -> "
+                         "BENCH/skewed_scaling.json + BASELINE.md refresh")
     args = ap.parse_args()
+    scale_mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "cow")
     if args.append:
         res = run_append(
             int(os.environ.get("SPARK_GRAFT_APPEND_BASE", "400000")),
@@ -1389,11 +1599,25 @@ def main() -> None:
         except (OSError, ValueError):
             pass
         print(json.dumps(res))
+    elif args.skewed_scaling:
+        res = run_skewed_scaling(
+            int(os.environ.get("SPARK_GRAFT_SKEW_BASE", "1000000")),
+            int(os.environ.get("SPARK_GRAFT_SKEW_UPDATES", "400000")),
+            repeats=int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5")),
+        )
+        if not res.get("gated"):
+            try:  # refresh BASELINE.md from the new data
+                with open("BENCH/scaling.json") as f:
+                    write_scaling_md(json.load(f))
+            except (OSError, ValueError):
+                pass
+        print(json.dumps(res))
     elif args.scaling_exec:
         res = run_scaling_exec(
             int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000")),
             repeats=int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3")),
             cores_per_worker=int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2")),
+            write_mode=scale_mode,
         )
         try:  # refresh BASELINE.md's standalone section from the new data
             with open("BENCH/scaling.json") as f:
@@ -1406,8 +1630,18 @@ def main() -> None:
             [(1, 4), (2, 8)],
             int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000")),
             repeats=int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3")),
+            write_mode=scale_mode,
         )
-        write_scaling_md(res)
+        if scale_mode == "cow":
+            write_scaling_md(res)
+        else:
+            # a delta-mode protocol run must not displace the adopted cow
+            # protocol that anchors scaling.json — it rides as its own key
+            with open("BENCH/scaling.json") as f:
+                full = json.load(f)
+            full["delta_protocol"] = {
+                k: v for k, v in res.items() if k != "secs_runs"}
+            write_scaling_md(full)
         print(json.dumps({k: v for k, v in res.items() if k != "secs_runs"}))
     else:
         print(json.dumps(run_headline()))
