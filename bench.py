@@ -240,8 +240,8 @@ def _run_replay_subprocess(log_dir: str, table_dir: str, cores: int,
             "ETL_SPARK_CONF",
             "spark.memory.offHeap.enabled=true,spark.memory.offHeap.size=3g",
         ),
-        **(env_extra or {}),
     )
+    env.update(env_extra or {})
     pin = ["taskset", "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
     cmd = pin + [
         sys.executable, "-m", "etl_spark.cdc.runner",
@@ -405,6 +405,135 @@ def run_scaling(pairs: list[tuple[int, int]], n_events: int,
             "state_match": len(set(hashes.values())) == 1,
             "state_hashes": hashes,
         }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# Engine-default subprocess conf (mirrors _run_replay_subprocess's
+# fallback); every A/B variant appends to this so the off-heap buffers
+# stay constant across variants.
+_AB_BASE_CONF = "spark.memory.offHeap.enabled=true,spark.memory.offHeap.size=3g"
+
+# Conf variants targeting the 8-core memory-bus ceiling (the measured
+# scaling limiter on this box — BENCH/BASELINE.md bandwidth section):
+# shuffle/broadcast/spill byte reduction at CPU cost (zstd), larger
+# shuffle IO buffers (fewer syscalls/copies), zstd data files.
+_AB_VARIANTS = {
+    "base": "",
+    "zstd_io": "spark.io.compression.codec=zstd",
+    "zstd_parquet": "spark.sql.parquet.compression.codec=zstd",
+    "bigbuf": ("spark.shuffle.file.buffer=1m"
+               ",spark.reducer.maxSizeInFlight=96m"),
+}
+
+
+def run_conf_ab(n_events: int = 8_000_000, write_mode: str = "delta",
+                levels=(2, 8), gate_eps: float = 250_000.0,
+                repeats: int = 1) -> dict:
+    """Same-window back-to-back A/B of SparkConf variants on the uniform
+    replay log — the host-weather-proof way to evidence a conf change
+    (BENCH/BASELINE.md rejected-sessions ledger: cross-session medians
+    confound engine and host, so a candidate default must beat `base` in
+    NEIGHBORING cells of one window). Generates one log, health-gates at
+    max(levels) (records nothing in a collapsed hypervisor window), then
+    interleaves variant cells level-major so each variant's cell at a
+    given level sits minutes — not sessions — from its baseline.
+
+    Variants override via SPARK_GRAFT_AB="name=k=v;k2=v2|name2=...".
+    State hash must be identical across all cells (conf must never
+    change results). Writes BENCH/conf_ab.json.
+    """
+    from etl_spark.cdc.gen import GenConfig, write_events
+    from etl_spark.session import get_spark
+
+    variants = dict(_AB_VARIANTS)
+    spec = os.environ.get("SPARK_GRAFT_AB", "")
+    if spec:
+        variants = {"base": ""}
+        for part in filter(None, spec.split("|")):
+            name, _, conf = part.partition("=")
+            variants[name.strip()] = conf.strip()
+
+    work = tempfile.mkdtemp(prefix="bench_ab_", dir=_workroot())
+    try:
+        spark = get_spark("bench-ab-gen", master=f"local[{CPUS}]")
+        log_dir = os.path.join(work, "log")
+        write_events(
+            spark,
+            GenConfig(n_events=n_events, n_keys=n_events // 8, n_repos=200,
+                      hot_frac=0.3, hot_keys=n_events // 64),
+            log_dir,
+            n_files=64,
+        )
+        spark.stop()  # gen JVM down before any timed cell
+        big = max(levels)
+        batch = max(n_events // SCALE_BATCH_DIV, 1)
+
+        def cell(conf: str, cores: int, tdir: str) -> dict:
+            env = {"ETL_SPARK_CONF":
+                   _AB_BASE_CONF + ("," + conf if conf else "")}
+            return _run_replay_subprocess(
+                log_dir, tdir, cores, batch_size=batch,
+                write_mode=write_mode, env_extra=env)
+
+        gate_probe = _host_probe()
+        gate_dir = os.path.join(work, "gate")
+        g = cell("", big, gate_dir)
+        shutil.rmtree(gate_dir, ignore_errors=True)
+        if g["events_per_sec"] < gate_eps:
+            return {"gated": True, "gate_eps": g["events_per_sec"],
+                    "gate_threshold": gate_eps, "probe_mops8": gate_probe}
+
+        runs: list[dict] = []
+        eps: dict[tuple, list[float]] = {
+            (v, c): [] for v in variants for c in levels}
+        finals: dict[tuple, str] = {}
+        for r in range(repeats):
+            for cores in sorted(levels):
+                for name, conf in variants.items():
+                    probe = _host_probe()
+                    tdir = os.path.join(work, f"t_{name}_{cores}_{r}")
+                    res = cell(conf, cores, tdir)
+                    eps[(name, cores)].append(res["events_per_sec"])
+                    runs.append({
+                        "variant": name, "cores": cores, "repeat": r,
+                        "eps": res["events_per_sec"], "secs": res["secs"],
+                        "bytes_written": res["bytes_written"],
+                        "phase_secs": res.get("phase_secs", {}),
+                        "probe_mops8": probe,
+                    })
+                    if r == repeats - 1:
+                        finals[(name, cores)] = tdir
+                    else:
+                        shutil.rmtree(tdir, ignore_errors=True)
+        spark = get_spark("bench-ab-hash", master=f"local[{CPUS}]")
+        hashes = {f"{v}_{c}": _table_state_hash(spark, d)
+                  for (v, c), d in finals.items()}
+        med = {f"{v}_{c}": sorted(x)[len(x) // 2]
+               for (v, c), x in eps.items()}
+        small = min(levels)
+        summary = [{
+            "variant": v,
+            "small_eps": med[f"{v}_{small}"], "big_eps": med[f"{v}_{big}"],
+            "efficiency": round(
+                med[f"{v}_{big}"] / ((big / small) * med[f"{v}_{small}"]), 3),
+            "big_vs_base": round(
+                med[f"{v}_{big}"] / med[f"base_{big}"], 3),
+        } for v in variants]
+        out = {
+            "n_events": n_events, "write_mode": write_mode,
+            "levels": list(levels), "repeats": repeats,
+            "gate_eps": g["events_per_sec"], "variants": {
+                v: (_AB_BASE_CONF + ("," + c if c else ""))
+                for v, c in variants.items()},
+            "runs": runs, "median_eps": med, "summary": summary,
+            "state_match": len(set(hashes.values())) == 1,
+            "state_hashes": hashes,
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/conf_ab.json", "w") as f:
+            json.dump(out, f, indent=1)
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1565,6 +1694,10 @@ def main() -> None:
                          "skewed workload (health-gated: records nothing "
                          "in a collapsed host window) -> "
                          "BENCH/skewed_scaling.json + BASELINE.md refresh")
+    ap.add_argument("--conf-ab", action="store_true",
+                    help="same-window A/B of SparkConf variants on the "
+                         "uniform replay (health-gated; variants via "
+                         "SPARK_GRAFT_AB) -> BENCH/conf_ab.json")
     args = ap.parse_args()
     scale_mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "cow")
     if args.append:
@@ -1625,16 +1758,34 @@ def main() -> None:
         except (OSError, ValueError):
             pass
         print(json.dumps(res))
+    elif args.conf_ab:
+        res = run_conf_ab(
+            int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000")),
+            write_mode=scale_mode if scale_mode != "cow" else "delta",
+            gate_eps=float(os.environ.get("SPARK_GRAFT_AB_GATE", "250000")),
+            repeats=int(os.environ.get("SPARK_GRAFT_AB_REPEATS", "1")),
+        )
+        print(json.dumps(res))
     elif args.scaling:
+        # SPARK_GRAFT_SCALE_PAIRS="2:8" (or "1:4,2:8") restricts the
+        # protocol to specific pairs so a window's budget isn't spent on
+        # cells that aren't under test.
+        pairs_spec = os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "1:4,2:8")
+        pairs = [tuple(int(x) for x in p.split(":"))
+                 for p in pairs_spec.split(",") if p]
         res = run_scaling(
-            [(1, 4), (2, 8)],
+            pairs,
             int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000")),
             repeats=int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3")),
             write_mode=scale_mode,
         )
-        if scale_mode == "cow":
+        if scale_mode == "cow" and pairs_spec == "1:4,2:8":
             write_scaling_md(res)
-        else:
+        elif scale_mode == "cow":
+            # a restricted-pairs cow run must not displace the adopted
+            # full protocol that anchors scaling.json — manual adoption
+            pass
+        elif pairs_spec == "1:4,2:8":
             # a delta-mode protocol run must not displace the adopted cow
             # protocol that anchors scaling.json — it rides as its own key
             with open("BENCH/scaling.json") as f:
@@ -1642,6 +1793,13 @@ def main() -> None:
             full["delta_protocol"] = {
                 k: v for k, v in res.items() if k != "secs_runs"}
             write_scaling_md(full)
+        else:
+            # restricted-pairs delta run: stage as a candidate; adoption
+            # into scaling.json["delta_protocol"] is a manual decision
+            # under the rejected-sessions rules (BENCH/BASELINE.md)
+            with open("BENCH/scaling_delta_candidate.json", "w") as f:
+                json.dump({k: v for k, v in res.items()
+                           if k != "secs_runs"}, f, indent=1)
         print(json.dumps({k: v for k, v in res.items() if k != "secs_runs"}))
     else:
         print(json.dumps(run_headline()))
