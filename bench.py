@@ -439,7 +439,8 @@ def run_conf_ab(n_events: int = 8_000_000, write_mode: str = "delta",
     interleaves variant cells level-major so each variant's cell at a
     given level sits minutes — not sessions — from its baseline.
 
-    Variants override via SPARK_GRAFT_AB="name=k=v;k2=v2|name2=...".
+    Variants override via SPARK_GRAFT_AB="name=k=v,k2=v2|name2=..."
+    (comma-joined k=v pairs — the ETL_SPARK_CONF separator).
     State hash must be identical across all cells (conf must never
     change results). Writes BENCH/conf_ab.json.
     """
@@ -531,8 +532,18 @@ def run_conf_ab(n_events: int = 8_000_000, write_mode: str = "delta",
             "state_hashes": hashes,
         }
         os.makedirs("BENCH", exist_ok=True)
+        # accumulate sessions: on this host the verdict comes from the
+        # CROSS-session picture (one window's neighboring cells can still
+        # disagree with the next window's at the 8-core level), so every
+        # completed A/B window stays in the data
+        try:
+            with open("BENCH/conf_ab.json") as f:
+                old = json.load(f)
+            sessions = old["sessions"] if "sessions" in old else [old]
+        except (OSError, ValueError):
+            sessions = []
         with open("BENCH/conf_ab.json", "w") as f:
-            json.dump(out, f, indent=1)
+            json.dump({"sessions": sessions + [out]}, f, indent=1)
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1551,6 +1562,63 @@ State hash identical across all levels: **{d['state_match']}**.
 """
 
 
+def _conf_ab_md_section() -> str:
+    """SparkConf A/B sessions from BENCH/conf_ab.json (written by
+    --conf-ab); omitted until measured. Renders EVERY recorded window —
+    on this host a single window's neighboring cells are not enough to
+    adopt a conf (the 8-core cell variance exceeds plausible conf
+    effects), so the section shows the cross-window picture and states
+    the adoption verdict explicitly instead of cherry-picking."""
+    try:
+        with open("BENCH/conf_ab.json") as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return ""
+    sessions = d["sessions"] if "sessions" in d else [d]
+    blocks = []
+    for i, s in enumerate(sessions, 1):
+        cells = "\n".join(
+            f"| {r['variant']} | {r['cores']} | {r['eps']:,.0f} | "
+            f"{r['probe_mops8']} |" for r in s["runs"])
+        summ = "\n".join(
+            f"| {x['variant']} | {x['small_eps']:,.0f} | {x['big_eps']:,.0f} "
+            f"| {x['efficiency']} | {x['big_vs_base']} |"
+            for x in s["summary"])
+        blocks.append(f"""### Window {i} (gate {s['gate_eps']:,.0f} eps, state hash identical across all cells: {s['state_match']})
+
+| variant | cores | events/s | probe (Mops8) |
+|---|---|---|---|
+{cells}
+
+| variant | small eps | big eps | raw small->big eff | big vs base |
+|---|---|---|---|---|
+{summ}""")
+    nl = "\n\n"
+    return f"""## SparkConf A/B (same-window neighboring cells, health-gated)
+
+Candidate default-conf changes are evidenced by interleaved cells of
+one window (`python bench.py --conf-ab`; every variant appends to the
+same off-heap base conf; final table state hash must be identical
+across all cells). All recorded windows:
+
+{nl.join(blocks)}
+
+Verdict across windows: window 1 read zstd shuffle/spill compression
+(`spark.io.compression.codec=zstd`) at **1.30x base** in the 8-core
+cell; window 2, minutes later and gating HIGHER, read the same variant
+at **0.88x base** with the base cell itself up 19%. The 8-core
+cell-to-cell variance of this host exceeds the size of any plausible
+conf effect, so **no conf variant is adopted as engine default** on
+this evidence; the A/B harness and both windows stay recorded for a
+future healthy-host decision. (Window 2's zstd_all 8-core cell also
+logged GC-locker allocation-retry thrash — zstd's larger native
+buffers under the same heap — an independent reason that cell reads
+low.) The 2-core cells agree across windows (all variants within
++-8%), consistent with the conf effects being bus-level phenomena
+that only the (noisy) big cells can see.
+"""
+
+
 def _rejected_md_section(res: dict) -> str:
     """Rejected re-measurement sessions for the local[N] protocol —
     recorded, never silently dropped (the honesty ledger the adopted
@@ -1647,6 +1715,7 @@ from host contention.
 {_skewed_md_section()}
 {_skewed_scaling_md_section()}
 {_append_md_section()}
+{_conf_ab_md_section()}
 {_rejected_md_section(res)}
 
 Determinism under parallelism: final table state hash identical across
