@@ -898,6 +898,172 @@ def run_append(n_base: int = 400_000, n_appends: int = 160_000,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _live_metadata_and_files(root: str) -> tuple[int, int]:
+    """(live metadata bytes, live data-file count) at a table's latest
+    version: the top manifest plus every shard it references. The byte
+    total is exactly what the pre-shard design serialized on EVERY
+    commit (one whole-manifest JSON carrying per-file refs for every
+    live file) — the comparator the flatness ladder is measured
+    against."""
+    import glob as _glob
+    v = open(os.path.join(root, "_LATEST")).read().strip()
+    top = os.path.join(root, "manifests", f"v{v}.json")
+    meta = os.path.getsize(top)
+    with open(top) as f:
+        m = json.load(f)
+    files = 0
+    for e in m["files"].values():
+        if isinstance(e, dict) and "ptr" in e:
+            p = os.path.join(root, "manifests", e["ptr"])
+            meta += os.path.getsize(p)
+            with open(p) as f:
+                e = json.load(f)
+        if isinstance(e, str):
+            files += len(_glob.glob(os.path.join(root, e, "*.parquet")))
+        elif isinstance(e, dict):
+            files += len(e["base"])
+            for d in e.get("deltas") or []:
+                files += len(_glob.glob(os.path.join(root, d, "*.parquet")))
+        else:
+            for d in e:
+                files += len(_glob.glob(os.path.join(root, d, "*.parquet")))
+    return meta, files
+
+
+def run_manifest_flat(sizes=((100_000, 16), (400_000, 64), (1_600_000, 256)),
+                      n_updates: int = 20_000, focus: int = 8,
+                      cores: int = 8) -> dict:
+    """Commit-metadata flatness ladder: the SAME sparse update batch
+    (``n_updates`` U/D events over a fixed ``focus``-key working set,
+    so it touches <= ``focus`` buckets at every size) replayed onto
+    tables 4x and 16x apart in live rows, with buckets scaled
+    proportionally (files/bucket held constant — the capacity rule a
+    real deployment applies). Reports commit metadata bytes per batch
+    (new content-addressed shards + the pointer map) next to the LIVE
+    metadata total, which is what the pre-shard whole-manifest design
+    rewrote on every commit. Byte metrics are deterministic — valid in
+    any host window (wall/eps are not reported)."""
+    from etl_spark.cdc.gen import GenConfig, write_events
+    from etl_spark.cdc.lake import SnapshotTable
+    from etl_spark.cdc.maintain import compact
+    from etl_spark.cdc.runner import read_event_log, replay
+    from etl_spark.session import get_spark
+
+    rows_out = []
+    work = tempfile.mkdtemp(prefix="bench_mflat_", dir=_workroot())
+    try:
+        for n_base, n_buckets in sizes:
+            spark = get_spark("bench-mflat-gen", master=f"local[{CPUS}]")
+            base_log = os.path.join(work, f"base_{n_base}")
+            upd_log = os.path.join(work, f"upd_{n_base}")
+            write_events(
+                spark,
+                GenConfig(n_events=n_base, n_keys=n_base, n_repos=400,
+                          hot_frac=0.0, p_insert=1.0, p_update=0.0,
+                          max_content_reps=16, seed=23),
+                base_log, n_files=32,
+            )
+            write_events(
+                spark,
+                GenConfig(n_events=n_updates, n_keys=n_base, n_repos=400,
+                          hot_frac=0.0, p_insert=0.0, p_update=0.8,
+                          update_focus_keys=focus, base_lsn=n_base,
+                          max_content_reps=16, seed=23),
+                upd_log, n_files=8,
+            )
+            base = SnapshotTable(spark, os.path.join(work, f"t_{n_base}"),
+                                 n_buckets=n_buckets)
+            replay(spark, read_event_log(spark, base_log), base,
+                   batch_size=n_base)
+            base_rows = base.read().count()
+            compact(spark, base, max_files_per_bucket=0,
+                    target_file_rows=max(base_rows // n_buckets // 8, 1))
+            spark.stop()
+            res = _run_replay_subprocess(
+                upd_log, base.root, cores,
+                batch_size=max(n_updates // 4, 1), n_buckets=n_buckets)
+            live_meta, live_files = _live_metadata_and_files(base.root)
+            rows_out.append({
+                "live_rows": base_rows, "n_buckets": n_buckets,
+                "live_files": live_files,
+                "live_metadata_bytes": live_meta,
+                "batches": res["batches"],
+                "commit_metadata_bytes_per_batch": round(
+                    res["manifest_bytes"] / max(res["batches"], 1)),
+                "files_rewritten": res["files_rewritten"],
+                "files_carried": res["files_carried"],
+            })
+        out = {
+            "n_updates": n_updates, "focus_keys": focus,
+            "files_per_bucket_target": 8, "rows": rows_out,
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/manifest_flat.json", "w") as f:
+            json.dump(out, f, indent=1)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _manifest_flat_md_section() -> str:
+    """Render the commit-metadata flatness ladder from
+    BENCH/manifest_flat.json (written by --manifest-flat); omitted
+    until measured."""
+    try:
+        with open("BENCH/manifest_flat.json") as f:
+            r = json.load(f)
+    except (OSError, ValueError):
+        return ""
+    rows = "\n".join(
+        f"| {x['live_rows']:,} | {x['n_buckets']} | {x['live_files']:,} | "
+        f"{x['live_metadata_bytes'] / 1e3:,.0f} | "
+        f"{x['commit_metadata_bytes_per_batch'] / 1e3:,.1f} | "
+        f"{x['files_rewritten']} | {x['files_carried']} |"
+        for x in r["rows"]
+    )
+    first, last = r["rows"][0], r["rows"][-1]
+    growth_live = last["live_metadata_bytes"] / max(
+        first["live_metadata_bytes"], 1)
+    growth_commit = last["commit_metadata_bytes_per_batch"] / max(
+        first["commit_metadata_bytes_per_batch"], 1)
+    return f"""## Commit-metadata flatness in table size (sharded manifests)
+
+The SAME sparse batch ({r['n_updates']:,} U/D events over a fixed
+{r['focus_keys']}-key working set, 4 commits) replayed onto tables 16x
+apart in live rows, buckets scaled proportionally (files/bucket held at
+~{r['files_per_bucket_target']} — the constant a capacity-managed
+deployment holds). `commit KB/batch` is the metadata each commit
+actually writes (new content-addressed shards for the <= {r['focus_keys']}
+touched buckets + the pointer map); `live metadata KB` is the full
+per-file-ref manifest — what the pre-shard design rewrote on EVERY
+commit, and exactly the O(live files) term the sharding removed.
+
+| live rows | buckets | live files | live metadata KB | commit KB/batch | files rewritten | files carried |
+|---|---|---|---|---|---|---|
+{rows}
+
+Across the ladder live metadata grows {growth_live:,.1f}x while commit
+metadata per batch moves {growth_commit:,.1f}x. The residual growth has
+two bounded causes, visible in the columns: the O(n_buckets) pointer
+map (~60 B/bucket/commit), and the working set hashing into MORE
+distinct buckets as buckets grow (8 keys collide into fewer buckets at
+16 than at 256 — `files carried` counts the touched buckets' shard
+refs re-serialized per run). Both are O(batch + buckets) terms, never
+O(live files); at 10^5+ buckets the pointer map itself would shard
+next. Byte metrics are deterministic: this table is valid evidence in
+any host window.
+"""
+
+
+def _manifest_kb(x: dict) -> str:
+    """Commit-metadata KB cell; 'n/a' for runs recorded before the
+    sharded-manifest metrics existed (a 0 would read as 'measured
+    zero', which those runs never were)."""
+    if "manifest_bytes" not in x:
+        return "n/a"
+    return f"{x['manifest_bytes'] / 1e3:,.0f}"
+
+
 def _append_md_section() -> str:
     """Render the append-only membership-probe table from
     BENCH/append.json (written by --append); omitted until measured."""
@@ -910,7 +1076,7 @@ def _append_md_section() -> str:
         f"| {x['mode']} | {x['cores']} | {x['eps']:,.0f} | {x['secs']} | "
         f"{x['bytes_written'] / 1e6:,.1f} | {x['rows_out']:,} | "
         f"{x['files_rewritten']} | {x['files_carried']} | "
-        f"{x.get('manifest_bytes', 0) / 1e3:,.0f} | {x['probe_mops8']} |"
+        f"{_manifest_kb(x)} | {x['probe_mops8']} |"
         for x in r["runs"]
     )
     return f"""## Append-only ingest (membership pruning vs range pruning)
@@ -950,7 +1116,7 @@ def _skewed_md_section() -> str:
         f"| {x['mode']} | {x['cores']} | {x['eps']:,.0f} | {x['secs']} | "
         f"{x['bytes_written'] / 1e6:,.1f} | {x['rows_out']:,} | "
         f"{x['files_rewritten']} | {x['files_carried']} | "
-        f"{x.get('manifest_bytes', 0) / 1e3:,.0f} | {x['probe_mops8']} |"
+        f"{_manifest_kb(x)} | {x['probe_mops8']} |"
         for x in r["runs"]
     )
     return f"""## Skewed / sparse-update workload (zipf repos, hot-key working set)
@@ -1715,6 +1881,7 @@ from host contention.
 {_skewed_md_section()}
 {_skewed_scaling_md_section()}
 {_append_md_section()}
+{_manifest_flat_md_section()}
 {_conf_ab_md_section()}
 {_rejected_md_section(res)}
 
@@ -1763,13 +1930,26 @@ def main() -> None:
                          "skewed workload (health-gated: records nothing "
                          "in a collapsed host window) -> "
                          "BENCH/skewed_scaling.json + BASELINE.md refresh")
+    ap.add_argument("--manifest-flat", action="store_true",
+                    help="commit-metadata flatness ladder: same sparse "
+                         "batch onto 16x-apart table sizes, commit KB "
+                         "vs live-metadata KB -> BENCH/manifest_flat.json"
+                         " + BASELINE.md refresh")
     ap.add_argument("--conf-ab", action="store_true",
                     help="same-window A/B of SparkConf variants on the "
                          "uniform replay (health-gated; variants via "
                          "SPARK_GRAFT_AB) -> BENCH/conf_ab.json")
     args = ap.parse_args()
     scale_mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "cow")
-    if args.append:
+    if args.manifest_flat:
+        res = run_manifest_flat()
+        try:  # refresh BASELINE.md's flatness section from the new data
+            with open("BENCH/scaling.json") as f:
+                write_scaling_md(json.load(f))
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(res))
+    elif args.append:
         res = run_append(
             int(os.environ.get("SPARK_GRAFT_APPEND_BASE", "400000")),
             int(os.environ.get("SPARK_GRAFT_APPEND_EVENTS", "160000")),
