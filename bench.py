@@ -814,12 +814,13 @@ def run_append(n_base: int = 400_000, n_appends: int = 160_000,
     insert-only log over the DISJOINT keyspace [K, 2K) whose derived
     paths interleave LEXICOGRAPHICALLY into the base files' (repo,path)
     ranges — every insert is a random dart inside some file's range, so
-    the metadata-only range probe must rewrite ~every file, while the
-    membership probe (which reads just the two key columns and
-    semi-joins the batch keys) proves no row matches and carries
-    everything. Byte/row/file metrics are deterministic, so this
-    evidence is valid regardless of host weather; single level — write
-    amplification does not depend on core count."""
+    the range probe must rewrite ~every file, while the membership
+    probe (write-time per-file key blooms tested inside the same
+    broadcast probe join — metadata-only, no data-file read) proves no
+    key matches and carries everything. Byte/row/file metrics are
+    deterministic, so this evidence is valid regardless of host
+    weather; single level — write amplification does not depend on
+    core count."""
     from etl_spark.cdc.gen import GenConfig, write_events
     from etl_spark.cdc.lake import SnapshotTable
     from etl_spark.cdc.maintain import compact
@@ -874,6 +875,10 @@ def run_append(n_base: int = 400_000, n_appends: int = 160_000,
                 "files_rewritten": res["files_rewritten"],
                 "files_carried": res["files_carried"],
                 "manifest_bytes": res.get("manifest_bytes", 0),
+                # per-phase walls: the membership probe must show NO
+                # extra scan phase vs range — bloom exoneration lives
+                # inside the same prepare-stage probe job
+                "phase_secs": res.get("phase_secs"),
                 "probe_mops8": probe,
             })
         spark = get_spark("bench-append-hash", master=f"local[{CPUS}]")

@@ -236,14 +236,19 @@ def scan_written_footers(root: str, out_dir: str) -> dict[str, dict]:
 
 
 # Key-membership bloom parameters (file-level CoW, pruning level 2):
-# ~12 bits/key with 4 probes gives a ~0.6% false-positive rate — a FP
-# only costs one unnecessary file rewrite (fail-safe), while a miss is
-# impossible (blooms have no false negatives, so a carried file provably
-# holds no batch key). Files beyond BLOOM_MAX_ROWS skip the bloom (the
-# packed filter would exceed ~128 KB in its manifest shard; a bucket
-# that big should be compacted into rolled files first — and a bucket
-# with ONE big file is always hit anyway, so the bloom buys nothing).
-BLOOM_BITS_PER_KEY = 12
+# a file is carried only if EVERY range-hitting batch key misses its
+# bloom, so the per-key FP compounds — with R keys probing one file,
+# P(carry) = (1-fp)^R. Sized at ~20 bits/key (power-of-2 rounding makes
+# the realized ratio 20-40) with 4 probes, fp ~ 2e-4..1e-3: a file
+# probed by a few hundred keys still carries with >90% probability,
+# and a FP only costs one unnecessary file rewrite (fail-safe), while
+# a miss is impossible (no false negatives — a carried file provably
+# holds no batch key). Metadata cost is ~2.5 B/key vs ~2 KB content
+# rows (~0.1%). Files beyond BLOOM_MAX_ROWS skip the bloom (the packed
+# filter would exceed ~256 KB in its manifest shard; a bucket that big
+# should be compacted into rolled files first — and a bucket with ONE
+# big file is always hit anyway, so the bloom buys nothing).
+BLOOM_BITS_PER_KEY = 20
 BLOOM_K = 4
 BLOOM_MAX_ROWS = 80_000
 

@@ -180,8 +180,15 @@ def compact(
         # lookups skip row groups instead of scanning the whole bucket —
         # and per-FILE key ranges become disjoint, the layout file-level
         # CoW prunes best against. Compaction is the right place to pay
-        # this sort — the hot merge path never does
-        .sortWithinPartitions(*table.key_cols)
+        # this sort — the hot merge path never does.
+        # _bucket MUST lead the sort: the dynamic-partition writer
+        # requires its output sorted by the partition column and ADDS
+        # that sort itself if the incoming order doesn't already satisfy
+        # it — a re-sort by _bucket alone that destroys the key order,
+        # leaving every rolled file spanning its whole bucket's keyspace
+        # (ranges useless, and every batch key then probes every file's
+        # bloom, compounding the per-key FP into a near-certain hit)
+        .sortWithinPartitions("_bucket", *table.key_cols)
     )
     version = table.version() + 1
     out_dir = table.new_data_dir(version)

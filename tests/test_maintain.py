@@ -286,6 +286,38 @@ def test_compact_reduces_files_keeps_state(spark, replayed):
     assert compact(spark, replayed, max_files_per_bucket=1)["buckets_touched"] == 0
 
 
+def test_compact_rolled_files_are_key_disjoint(spark, replayed):
+    """target_file_rows rolls each bucket into files covering DISJOINT
+    (repo, path) slices — the layout file-level CoW prunes against.
+    Regression: sortWithinPartitions(key_cols) without a leading
+    _bucket let the dynamic-partition writer re-sort by _bucket alone,
+    interleaving keys so every rolled file spanned its whole bucket
+    (ranges useless; every batch key then probed every file's bloom
+    and the compounded FP rate rewrote ~everything under insert
+    fan-out)."""
+    compact(spark, replayed, max_files_per_bucket=0, target_file_rows=8)
+    m = replayed.manifest()
+    multi = 0
+    for e in m["files"].values():
+        refs = e["base"] if isinstance(e, dict) else []
+        if len(refs) < 2:
+            continue
+        multi += 1
+        slices = []
+        for r in refs:
+            rows = (
+                spark.read.parquet(os.path.join(replayed.root, r[0]))
+                .select("repo", "path")
+                .collect()
+            )
+            keys = sorted((x["repo"], x["path"]) for x in rows)
+            slices.append((keys[0], keys[-1]))
+        slices.sort()
+        for (_, prev_hi), (lo, _) in zip(slices, slices[1:]):
+            assert prev_hi < lo, "rolled files overlap in key space"
+    assert multi > 0, "fixture must produce multi-file buckets"
+
+
 def test_vacuum_removes_only_uncommitted_debris(spark, replayed):
     committed = set(os.listdir(os.path.join(replayed.root, "data")))
     debris = os.path.join(replayed.root, "data", f"v{replayed.version() + 7}")
